@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship BM25 match query over the transcripts view at sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2); each
+                 callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB SQL producing identical rows for each query, generated
+                 by elasticsearch_spark.oracle from the same query dicts.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from elasticsearch_spark import oracle  # noqa: E402
+from elasticsearch_spark.plans import query_dsl as Q  # noqa: E402
+from elasticsearch_spark.queryset import DEFAULT_K, SEARCH_QUERIES  # noqa: E402
+from elasticsearch_spark.sources import transcripts as TR  # noqa: E402
+
+KEYS = ["conv_id", "turn_idx"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 match query on sf0.001 transcripts."""
+    docs = TR.transcripts_view(spark, "/root/testdata/sf0.001")
+    return Q.search(docs, SEARCH_QUERIES["match_or_topk"], KEYS, k=DEFAULT_K)
+
+
+def _search_fn(qd: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = TR.transcripts_view(spark, sf_dir)
+        return Q.search(docs, qd, KEYS, k=DEFAULT_K)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, qd in SEARCH_QUERIES.items():
+        out[f"search_{name}"] = _search_fn(qd)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, qd in SEARCH_QUERIES.items():
+        out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+    return out

@@ -1,0 +1,314 @@
+"""DuckDB oracle-SQL generator.
+
+For each supported ES-style query dict, emits ANSI-ish SQL that DuckDB can run
+over the driver's parquet views to produce the *same rows* as the Spark plan
+compiler in plans/query_dsl.py — same tokenizer (shared regex), same BM25
+formula (shared SQL snippets from functions/scoring.py), same rounding and
+deterministic tie-break. This is an independent execution path (DuckDB SQL vs
+Catalyst plans) over shared formula definitions, which is exactly what the
+driver's CORRECTNESS gate compares.
+
+The transcripts table is derived from `documents` with the deterministic view
+in sources/transcripts.py, identical in both dialects.
+"""
+
+from __future__ import annotations
+
+from .functions import analysis, scoring
+from .functions.analysis import analyze
+from .sources.transcripts import transcripts_view_sql
+
+K1, B = scoring.K1, scoring.B
+
+TRANSCRIPTS_CTE = "WITH transcripts AS (" + transcripts_view_sql("documents", "duckdb") + ")"
+
+
+def _toks(field: str) -> str:
+    return analysis.tokens_sql(field, "duckdb")
+
+
+def _sql_str(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _match_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
+    """Returns (ctes, alias) where `alias` selects (conv_id, turn_idx, score)."""
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    qterms = list(dict.fromkeys(analyze(spec["query"])))
+    operator = spec.get("operator", "or").lower()
+    msm = spec.get("minimum_should_match")
+    need = len(qterms) if operator == "and" else (msm or 1)
+    terms_in = ", ".join(_sql_str(t) for t in qterms) or "''"
+    t = _toks(field)
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    idf = scoring.idf_sql("n_docs", "df")
+    score = scoring.term_score_sql("tf", dl_q, "avgdl", idf)
+    ctes = f"""
+{alias}_toks AS (
+  SELECT conv_id, turn_idx, len({t}) AS dl, unnest({t}) AS term FROM transcripts
+),
+{alias}_tf AS (
+  SELECT conv_id, turn_idx, dl, term, count(*) AS tf
+  FROM {alias}_toks WHERE term IN ({terms_in})
+  GROUP BY conv_id, turn_idx, dl, term
+),
+{alias}_stats AS (
+  SELECT count(*) AS n_docs, sum(len({t})) * 1.0 / count(*) AS avgdl FROM transcripts
+),
+{alias}_df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM {alias}_toks WHERE term IN ({terms_in})
+  ) GROUP BY term
+),
+{alias} AS (
+  SELECT f.conv_id, f.turn_idx, sum({score}) AS score, count(*) AS n_matched
+  FROM {alias}_tf f JOIN {alias}_df USING (term) CROSS JOIN {alias}_stats
+  GROUP BY f.conv_id, f.turn_idx
+  HAVING count(*) >= {need}
+)"""
+    return ctes, alias
+
+
+def _match_phrase_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    qterms = analyze(spec["query"])
+    m = len(qterms)
+    t = _toks(field)
+    conds = " AND ".join(f"toks[p + {i}] = {_sql_str(term)}" for i, term in enumerate(qterms))
+    terms_in = ", ".join(_sql_str(x) for x in sorted(set(qterms)))
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    idf = scoring.idf_sql("n_docs", "df")
+    ctes = f"""
+{alias}_docs AS (
+  SELECT conv_id, turn_idx, {t} AS toks, len({t}) AS dl FROM transcripts
+),
+{alias}_pf AS (
+  SELECT conv_id, turn_idx, dl,
+    len(list_filter(generate_series(1, greatest(len(toks) - {m - 1}, 0)), p -> {conds})) AS pf
+  FROM {alias}_docs
+),
+{alias}_stats AS (
+  SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM {alias}_docs
+),
+{alias}_idf AS (
+  SELECT sum({idf}) AS idf_sum FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM {alias}_docs
+    ) WHERE term IN ({terms_in}) GROUP BY term
+  ) CROSS JOIN {alias}_stats
+),
+{alias} AS (
+  SELECT conv_id, turn_idx,
+    idf_sum * {K1 + 1.0} * pf / (pf + ({K1} * (1.0 - {B} + {B} * cast({dl_q} as double) / avgdl))) AS score
+  FROM {alias}_pf CROSS JOIN {alias}_stats CROSS JOIN {alias}_idf
+  WHERE pf > 0
+)"""
+    return ctes, alias
+
+
+def _pred_sql(kind: str, body: dict) -> str:
+    if kind == "term":
+        (field, v), = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return f"{field} = {_sql_str(v)}"
+    if kind == "terms":
+        (field, vs), = body.items()
+        return f"{field} IN ({', '.join(_sql_str(v) for v in vs)})"
+    if kind == "range":
+        (field, spec), = body.items()
+        ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+        return " AND ".join(f"{field} {ops[o]} {_sql_str(v)}" for o, v in spec.items() if o in ops)
+    if kind == "exists":
+        return f"{body['field']} IS NOT NULL"
+    if kind == "ids":
+        vals = ", ".join(_sql_str(v) for v in body["values"])
+        return f"(conv_id || '#' || cast(turn_idx as varchar)) IN ({vals})"
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "match_none":
+        return "FALSE"
+    raise ValueError(f"not predicate-expressible: {kind}")
+
+
+_PRED_KINDS = {"term", "terms", "range", "exists", "ids", "match_all", "match_none"}
+
+
+def _keyword_idf_sql(kind: str, body: dict, alias: str) -> tuple[str, str]:
+    """term/terms in scoring context: score = idf(value) (norms-less keyword)."""
+    (field, v), = body.items()
+    vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
+    vals_in = ", ".join(_sql_str(x) for x in vals)
+    idf = scoring.idf_sql("n_docs", "df")
+    ctes = f"""
+{alias}_df AS (
+  SELECT {field} AS v, count(*) AS df FROM transcripts WHERE {field} IN ({vals_in}) GROUP BY {field}
+),
+{alias}_n AS (SELECT count(*) AS n_docs FROM transcripts),
+{alias} AS (
+  SELECT t.conv_id, t.turn_idx, {idf} AS score
+  FROM transcripts t JOIN {alias}_df d ON t.{field} = d.v CROSS JOIN {alias}_n
+)"""
+    return ctes, alias
+
+
+class _SqlGen:
+    def __init__(self):
+        self.ctes: list[str] = []
+        self.n = 0
+
+    def fresh(self, prefix: str) -> str:
+        self.n += 1
+        return f"{prefix}_{self.n}"
+
+    def scored(self, q: dict) -> str:
+        """Register CTEs; return alias selecting (conv_id, turn_idx, score)."""
+        (kind, body), = q.items()
+        a = self.fresh(kind)
+        if kind == "match":
+            (field, spec), = body.items()
+            c, a = _match_scored_sql(field, spec, a)
+            self.ctes.append(c)
+            return a
+        if kind == "match_phrase":
+            (field, spec), = body.items()
+            c, a = _match_phrase_scored_sql(field, spec, a)
+            self.ctes.append(c)
+            return a
+        if kind in ("term", "terms"):
+            c, a = _keyword_idf_sql(kind, body, a)
+            self.ctes.append(c)
+            return a
+        if kind in _PRED_KINDS:
+            self.ctes.append(
+                f"\n{a} AS (SELECT conv_id, turn_idx, 1.0 AS score FROM transcripts WHERE {_pred_sql(kind, body)})"
+            )
+            return a
+        if kind == "constant_score":
+            inner = self.matched_keys(body["filter"])
+            boost = float(body.get("boost", 1.0))
+            self.ctes.append(
+                f"\n{a} AS (SELECT conv_id, turn_idx, {boost} AS score FROM {inner})"
+            )
+            return a
+        if kind == "dis_max":
+            aliases = [self.scored(c) for c in body.get("queries", [])]
+            tie = float(body.get("tie_breaker", 0.0))
+            uni = " UNION ALL ".join(f"SELECT conv_id, turn_idx, score FROM {x}" for x in aliases)
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT conv_id, turn_idx, max(score) + {tie} * (sum(score) - max(score)) AS score
+  FROM ({uni}) GROUP BY conv_id, turn_idx
+)"""
+            )
+            return a
+        if kind == "bool":
+            return self._bool(body, a)
+        raise ValueError(f"oracle cannot express: {kind}")
+
+    def matched_keys(self, q: dict) -> str:
+        """Alias selecting distinct (conv_id, turn_idx) matching q."""
+        (kind, body), = q.items()
+        if kind in _PRED_KINDS:
+            a = self.fresh(f"{kind}_keys")
+            self.ctes.append(
+                f"\n{a} AS (SELECT conv_id, turn_idx FROM transcripts WHERE {_pred_sql(kind, body)})"
+            )
+            return a
+        s = self.scored(q)
+        a = self.fresh("keys")
+        self.ctes.append(f"\n{a} AS (SELECT conv_id, turn_idx FROM {s})")
+        return a
+
+    def _bool(self, body: dict, a: str) -> str:
+        def as_list(x):
+            return [] if x is None else (x if isinstance(x, list) else [x])
+
+        must = as_list(body.get("must"))
+        filt = as_list(body.get("filter"))
+        should = as_list(body.get("should"))
+        must_not = as_list(body.get("must_not"))
+        msm = body.get("minimum_should_match")
+        has_anchor = bool(must or filt)
+        eff_msm = int(msm) if msm is not None else (0 if has_anchor else 1)
+
+        must_aliases = [self.scored(q) for q in must]
+        filt_aliases = [self.matched_keys(q) for q in filt]
+        not_aliases = [self.matched_keys(q) for q in must_not]
+
+        if must_aliases:
+            base = must_aliases[0]
+            expr_score = f"{base}.score"
+            joins = ""
+            for i, ma in enumerate(must_aliases[1:], 1):
+                joins += f" JOIN {ma} USING (conv_id, turn_idx)"
+                expr_score += f" + {ma}.score"
+            anchor_sql = f"SELECT conv_id, turn_idx, {expr_score} AS score FROM {base}{joins}"
+        elif filt_aliases or not_aliases:
+            anchor_sql = "SELECT conv_id, turn_idx, 0.0 AS score FROM transcripts"
+        else:
+            anchor_sql = None
+
+        should_alias = None
+        if should:
+            parts = []
+            for i, q in enumerate(should):
+                sa = self.scored(q)
+                parts.append(f"SELECT conv_id, turn_idx, score, {i} AS clause FROM {sa}")
+            sh = self.fresh("should")
+            having = f"HAVING count(DISTINCT clause) >= {eff_msm}" if eff_msm > 0 else ""
+            self.ctes.append(
+                f"""
+{sh} AS (
+  SELECT conv_id, turn_idx, sum(score) AS score
+  FROM ({' UNION ALL '.join(parts)}) GROUP BY conv_id, turn_idx {having}
+)"""
+            )
+            should_alias = sh
+
+        if anchor_sql is None:
+            final = f"SELECT conv_id, turn_idx, score FROM {should_alias}"
+        else:
+            anc = self.fresh("anchor")
+            self.ctes.append(f"\n{anc} AS ({anchor_sql})")
+            if should_alias:
+                jt = "JOIN" if eff_msm > 0 else "LEFT JOIN"
+                final = (
+                    f"SELECT {anc}.conv_id, {anc}.turn_idx, "
+                    f"{anc}.score + coalesce({should_alias}.score, 0.0) AS score "
+                    f"FROM {anc} {jt} {should_alias} USING (conv_id, turn_idx)"
+                )
+            else:
+                final = f"SELECT conv_id, turn_idx, score FROM {anc}"
+
+        where = []
+        for fa in filt_aliases:
+            where.append(
+                f"EXISTS (SELECT 1 FROM {fa} WHERE {fa}.conv_id = __b.conv_id AND {fa}.turn_idx = __b.turn_idx)"
+            )
+        for na in not_aliases:
+            where.append(
+                f"NOT EXISTS (SELECT 1 FROM {na} WHERE {na}.conv_id = __b.conv_id AND {na}.turn_idx = __b.turn_idx)"
+            )
+        body_sql = f"SELECT * FROM ({final}) __b"
+        if where:
+            body_sql += " WHERE " + " AND ".join(where)
+        self.ctes.append(f"\n{a} AS ({body_sql})")
+        return a
+
+
+def search_sql(query: dict, k: int = 10) -> str:
+    """Full oracle SQL for `search(docs, query, k)`: top-k with the same
+    deterministic ordering and rounding as operators/match.top_k."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes}
+SELECT conv_id, turn_idx, round(score, 4) AS score
+FROM {a}
+ORDER BY round(score, 6) DESC, conv_id ASC, turn_idx ASC
+LIMIT {k}"""

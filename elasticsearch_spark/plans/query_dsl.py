@@ -1,0 +1,372 @@
+"""ES query-DSL dict -> DataFrame plan compiler.
+
+Mirrors the query registry in the reference (search/SearchModule.java:781-842)
+for the leaf + compound queries the north rule needs. Leaves compile to either
+a Catalyst Column predicate (pushdown-friendly: term/terms/range/exists/ids/
+match_all) or a scored DataFrame (keys..., score) when token analysis is
+required (match/match_phrase/prefix/wildcard/fuzzy).
+
+Bool semantics (index/query/BoolQueryBuilder.java:306-318):
+  must      AND, contributes score
+  filter    AND, no score contribution
+  should    OR, contributes score; minimum_should_match defaults to 0 when
+            must/filter present, else 1
+  must_not  NOT, no score
+  empty bool => match_all; a bool of only filters scores 0.0.
+
+Scoring of non-text leaves in scoring context:
+  term/terms on keyword fields (norms disabled, KeywordFieldMapper.java):
+    BM25 with tf=1 and no norm => score == idf  (Lucene 8 BM25 w/o norms:
+    tf/(tf+k1) * (k1+1) * idf == idf for tf=1)
+  range/exists/ids/match_all: ConstantScore 1.0 (Lucene rewrites).
+  prefix/wildcard/fuzzy: multi-term constant-score rewrite => 1.0
+    (index/query/PrefixQueryBuilder.java et al., default rewrite method).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import analysis, scoring
+from ..operators import match as M
+
+
+@dataclass
+class _Ctx:
+    docs: DataFrame
+    key_cols: list[str]
+    text_col: str
+    base_pred: Column | None = None  # pushed-down candidate filter (scores unaffected)
+
+
+@dataclass
+class Compiled:
+    """Exactly one of (predicate, scored) is set."""
+
+    predicate: Column | None = None
+    scored: DataFrame | None = None  # (keys..., score)
+
+    def as_scored(self, ctx: _Ctx, score: float = 1.0) -> DataFrame:
+        if self.scored is not None:
+            return self.scored
+        d = ctx.docs.where(self.predicate) if self.predicate is not None else ctx.docs
+        if ctx.base_pred is not None:
+            d = d.where(ctx.base_pred)
+        return d.select(*ctx.key_cols, F.lit(float(score)).alias("score"))
+
+
+def compile_query(
+    query: dict,
+    docs: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Compile an ES query dict to a DataFrame of (key_cols..., score) matches.
+
+    The top level is a scoring context: term/terms leaves score idf (see
+    _scored_leaf); predicate-only leaves score like their Lucene rewrites.
+    """
+    ctx = _Ctx(docs, key_cols, text_col)
+    return _scored_leaf(ctx, query)
+
+
+def search(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k search: compile, score, deterministic top-k (SearchService defaults
+    size=10, SearchService.java:165-166)."""
+    return M.top_k(compile_query(query, docs, key_cols, text_col), key_cols, k)
+
+
+# --------------------------------------------------------------------- leaves
+def _keyword_idf_scored(ctx: _Ctx, col: str, values: list) -> DataFrame:
+    """term/terms in scoring context: score == idf(value) on a norms-less field."""
+    df_per_val = (
+        ctx.docs.groupBy(col).agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col(col).isin(values))
+    )
+    n = ctx.docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        ctx.docs.where(F.col(col).isin(values))
+        .join(F.broadcast(df_per_val), col)
+        .crossJoin(F.broadcast(n))
+        .select(*ctx.key_cols, F.expr(scoring.idf_sql("n_docs", "df")).alias("score"))
+    )
+    return scored
+
+
+def _match(ctx: _Ctx, body: dict) -> Compiled:
+    (field, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    scored = M.match_scores(
+        cand,
+        spec["query"],
+        ctx.key_cols,
+        text_col=field,
+        operator=spec.get("operator", "or"),
+        minimum_should_match=spec.get("minimum_should_match"),
+        stats=M.corpus_stats(
+            ctx.docs, ctx.key_cols,
+            list(dict.fromkeys(analysis.analyze(spec["query"]))), field,
+        ),
+    )
+    return Compiled(scored=scored)
+
+
+def _match_phrase(ctx: _Ctx, body: dict) -> Compiled:
+    (field, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    qterms = analysis.analyze(spec["query"])
+    if not qterms:
+        return Compiled(predicate=F.lit(False))
+    stats = M.corpus_stats(ctx.docs, ctx.key_cols, list(set(qterms)), field)
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
+    toks = toks.select(*ctx.key_cols, F.size("toks").alias("dl"), "toks")
+    # phrase freq: positions p with toks[p..p+m] == qterms (slop=0 default,
+    # index/search/MatchQuery.java:144); JVM-side via higher-order functions.
+    pos_ok = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - len(qterms)),
+        lambda p: reduce(
+            lambda a, b: a & b,
+            [F.element_at("toks", (p + i + 1).cast("int")) == F.lit(t) for i, t in enumerate(qterms)],
+        ),
+    )
+    pf = toks.select(*ctx.key_cols, "dl", F.size(pos_ok).alias("pf")).where(
+        (F.col("pf") > 0) & (F.size("toks") >= len(qterms))
+    )
+    # PhraseQuery idf = sum of per-term idf (Lucene PhraseWeight/Similarity.computeWeight)
+    idf_sum = stats.term_df.crossJoin(F.broadcast(stats.n_and_avgdl)).agg(
+        F.sum(F.expr(scoring.idf_sql("n_docs", "df"))).alias("idf"),
+        F.first("avgdl").alias("avgdl"),
+    )
+    dl_q = F.expr(scoring.quantized_dl_sql("dl", "spark"))
+    norm = F.lit(scoring.K1) * (
+        F.lit(1.0 - scoring.B) + F.lit(scoring.B) * dl_q.cast("double") / F.col("avgdl")
+    )
+    scored = pf.crossJoin(F.broadcast(idf_sum)).select(
+        *ctx.key_cols,
+        (F.col("idf") * F.lit(scoring.K1 + 1.0) * F.col("pf") / (F.col("pf") + norm)).alias("score"),
+    )
+    return Compiled(scored=scored)
+
+
+def _multi_term(ctx: _Ctx, field: str, term_pred) -> Compiled:
+    """prefix/wildcard/fuzzy: expand against per-doc token sets, constant score."""
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    hit = F.exists(analysis.tokens(field), term_pred)
+    return Compiled(scored=cand.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score")))
+
+
+def _ids_pred(ctx: _Ctx, values: list[str]) -> Column:
+    """_id = conv_id + '#' + turn_idx (derived doc identity, IdFieldMapper analog)."""
+    idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
+    return idc.isin(values)
+
+
+def _compile(q: dict, ctx: _Ctx) -> Compiled:
+    if len(q) != 1:
+        raise ValueError(f"query object must have exactly one key, got {list(q)}")
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return Compiled(predicate=F.lit(True))
+    if kind == "match_none":
+        return Compiled(predicate=F.lit(False))
+    if kind == "match":
+        return _match(ctx, body)
+    if kind == "match_phrase":
+        return _match_phrase(ctx, body)
+    if kind == "term":
+        (field, v), = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return Compiled(predicate=M.term_filter(field, v))
+    if kind == "terms":
+        (field, vs), = body.items()
+        return Compiled(predicate=M.terms_filter(field, list(vs)))
+    if kind == "range":
+        (field, spec), = body.items()
+        return Compiled(predicate=M.range_filter(field, **{k: v for k, v in spec.items() if k in ("gt", "gte", "lt", "lte")}))
+    if kind == "exists":
+        return Compiled(predicate=M.exists_filter(body["field"]))
+    if kind == "ids":
+        return Compiled(predicate=_ids_pred(ctx, body["values"]))
+    if kind == "prefix":
+        (field, v), = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return _multi_term(ctx, field, lambda t: t.startswith(v))
+    if kind == "wildcard":
+        (field, v), = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        pat = v.replace("*", ".*").replace("?", ".")
+        return _multi_term(ctx, field, lambda t: t.rlike(f"^{pat}$"))
+    if kind == "fuzzy":
+        (field, v), = body.items()
+        spec = v if isinstance(v, dict) else {"value": v}
+        val, fz = spec["value"], int(spec.get("fuzziness", 2))
+        return _multi_term(ctx, field, lambda t: F.levenshtein(t, F.lit(val)) <= fz)
+    if kind == "constant_score":
+        inner = _compile(body["filter"], ctx)
+        boost = float(body.get("boost", 1.0))
+        d = inner.as_scored(ctx)
+        return Compiled(scored=d.select(*ctx.key_cols, F.lit(boost).alias("score")))
+    if kind == "bool":
+        return _bool(ctx, body)
+    if kind == "dis_max":
+        return _dis_max(ctx, body)
+    if kind == "boosting":
+        return _boosting(ctx, body)
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+# ------------------------------------------------------------------ compounds
+def _as_list(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _scored_leaf(ctx: _Ctx, q: dict) -> DataFrame:
+    """Scored DF for a clause in scoring context (must/should)."""
+    kind = next(iter(q))
+    c = _compile(q, ctx)
+    if c.scored is not None:
+        return c.scored
+    if kind in ("term", "terms"):
+        (field, v), = q[kind].items()
+        vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
+        return _keyword_idf_scored(ctx, field, vals)
+    return c.as_scored(ctx, 1.0)  # range/exists/ids/match_all -> ConstantScore 1.0
+
+
+def _bool(ctx: _Ctx, body: dict) -> Compiled:
+    must = _as_list(body.get("must"))
+    filt = _as_list(body.get("filter"))
+    should = _as_list(body.get("should"))
+    must_not = _as_list(body.get("must_not"))
+    msm = body.get("minimum_should_match")
+
+    if not (must or filt or should or must_not):
+        return Compiled(predicate=F.lit(True))  # empty bool => match_all
+
+    # Split no-score clauses into pushable predicates vs scan-requiring DFs.
+    pred_parts: list[Column] = []
+    df_filters: list[DataFrame] = []
+    for q in filt:
+        c = _compile(q, ctx)
+        if c.predicate is not None:
+            pred_parts.append(c.predicate)
+        else:
+            df_filters.append(c.scored.select(*ctx.key_cols))
+    for q in must_not:
+        c = _compile(q, ctx)
+        if c.predicate is not None:
+            pred_parts.append(~c.predicate)
+        else:
+            df_filters.append(("anti", c.scored.select(*ctx.key_cols)))  # type: ignore[arg-type]
+
+    base_pred = reduce(lambda a, b: a & b, pred_parts) if pred_parts else None
+    inner_ctx = _Ctx(ctx.docs, ctx.key_cols, ctx.text_col, base_pred=base_pred)
+
+    keys = ctx.key_cols
+    result: DataFrame | None = None  # (keys..., score)
+    for q in must:
+        s = _scored_leaf(inner_ctx, q)
+        result = s if result is None else (
+            result.join(s.withColumnRenamed("score", "_s2"), keys)
+            .select(*keys, (F.col("score") + F.col("_s2")).alias("score"))
+        )
+
+    has_anchor = bool(must or filt)
+    eff_msm = int(msm) if msm is not None else (0 if has_anchor else 1)
+
+    if should:
+        tagged = [
+            s.select(*keys, "score", F.lit(i).alias("_clause"))
+            for i, s in (
+                (i, _scored_leaf(inner_ctx, q)) for i, q in enumerate(should)
+            )
+        ]
+        uni = reduce(lambda a, b: a.unionByName(b), tagged)
+        sh = uni.groupBy(*keys).agg(
+            F.sum("score").alias("_should_score"),
+            F.count_distinct("_clause").alias("_n_should"),
+        )
+        if eff_msm > 0:
+            sh = sh.where(F.col("_n_should") >= eff_msm)
+        if result is None and not filt:
+            result = sh.select(*keys, F.col("_should_score").alias("score"))
+        elif result is None:  # filter-only anchor: should optional unless msm>0
+            base = ctx.docs
+            if base_pred is not None:
+                base = base.where(base_pred)
+            base = base.select(*keys, F.lit(0.0).alias("score"))
+            if eff_msm > 0:
+                result = base.join(sh.select(*keys, "_should_score"), keys).select(
+                    *keys, F.col("_should_score").alias("score"))
+            else:
+                result = base.join(sh.select(*keys, "_should_score"), keys, "left").select(
+                    *keys, (F.col("score") + F.coalesce("_should_score", F.lit(0.0))).alias("score"))
+        else:
+            join_type = "inner" if eff_msm > 0 else "left"
+            result = result.join(sh.select(*keys, "_should_score"), keys, join_type).select(
+                *keys, (F.col("score") + F.coalesce("_should_score", F.lit(0.0))).alias("score"))
+    elif result is None:
+        # only filters / must_not: matching docs score 0.0; pure-negative gets
+        # implicit match_all (adjustPureNegative, BoolQueryBuilder.java:72,318)
+        base = ctx.docs
+        if base_pred is not None:
+            base = base.where(base_pred)
+        result = base.select(*keys, F.lit(0.0).alias("score"))
+    else:
+        if base_pred is not None:
+            # ensure must-results respect predicate filters even when the must
+            # leaf pre-filtered on base_pred already (idempotent semi-join)
+            result = result.join(ctx.docs.where(base_pred).select(*keys), keys, "left_semi")
+
+    for f in df_filters:
+        if isinstance(f, tuple):
+            result = result.join(f[1], keys, "left_anti")
+        else:
+            result = result.join(f, keys, "left_semi")
+    if base_pred is not None and not must and should:
+        result = result.join(ctx.docs.where(base_pred).select(*keys), keys, "left_semi")
+    return Compiled(scored=result)
+
+
+def _dis_max(ctx: _Ctx, body: dict) -> Compiled:
+    tie = float(body.get("tie_breaker", 0.0))
+    clauses = [_scored_leaf(ctx, q) for q in _as_list(body.get("queries"))]
+    uni = reduce(lambda a, b: a.unionByName(b), clauses)
+    agg = uni.groupBy(*ctx.key_cols).agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+    )
+    return Compiled(
+        scored=agg.select(
+            *ctx.key_cols,
+            (F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx"))).alias("score"),
+        )
+    )
+
+
+def _boosting(ctx: _Ctx, body: dict) -> Compiled:
+    pos = _scored_leaf(ctx, body["positive"])
+    neg = _compile(body["negative"], ctx)
+    nb = float(body.get("negative_boost", 0.5))
+    neg_keys = neg.as_scored(ctx).select(*ctx.key_cols, F.lit(True).alias("_neg"))
+    return Compiled(
+        scored=pos.join(neg_keys, ctx.key_cols, "left").select(
+            *ctx.key_cols,
+            F.when(F.col("_neg"), F.col("score") * nb).otherwise(F.col("score")).alias("score"),
+        )
+    )
