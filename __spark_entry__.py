@@ -24,6 +24,41 @@ from elasticsearch_spark.sources import transcripts as TR  # noqa: E402
 
 KEYS = ["conv_id", "turn_idx"]
 
+# queries answered twice: logical plan AND the segment-store engine
+# (postings + block-max kernel); both must match the same oracle SQL.
+INDEXED_QUERY_NAMES = [
+    "match_or_topk",
+    "match_and_topk",
+    "match_msm_topk",
+    "bool_must_filter",
+    "bool_must_not",
+]
+
+_STORES: dict[str, object] = {}
+
+
+def _indexed_store(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) a segment index over the view."""
+    import tempfile
+
+    from elasticsearch_spark.operators import index_build
+
+    if sf_dir not in _STORES:
+        root = tempfile.mkdtemp(prefix="es_spark_idx_")
+        docs = TR.transcripts_view(spark, sf_dir)
+        _STORES[sf_dir] = index_build.build_index(spark, docs, root, n_slices=2, partitions=8)
+    return _STORES[sf_dir]
+
+
+def _indexed_fn(qd: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from elasticsearch_spark.operators import topk
+
+        store = _indexed_store(spark, sf_dir)
+        return topk.search_indexed(spark, store, qd, k=DEFAULT_K)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 match query on sf0.001 transcripts."""
@@ -43,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, qd in SEARCH_QUERIES.items():
         out[f"search_{name}"] = _search_fn(qd)
+    for name in INDEXED_QUERY_NAMES:
+        out[f"indexed_{name}"] = _indexed_fn(SEARCH_QUERIES[name])
     return out
 
 
@@ -50,4 +87,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, qd in SEARCH_QUERIES.items():
         out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+    for name in INDEXED_QUERY_NAMES:
+        out[f"indexed_{name}"] = oracle.search_sql(SEARCH_QUERIES[name], DEFAULT_K)
     return out

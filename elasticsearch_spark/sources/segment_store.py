@@ -1,0 +1,168 @@
+"""SegmentStore — an Iceberg-style snapshot/manifest table format on parquet.
+
+Plays the role of ES's translog-checkpoint + Lucene segment files
+(index/translog/Checkpoint.java:43-106; segments created by refresh at
+InternalEngine.java:889-968) AND of Iceberg snapshots for time-travel:
+
+  <root>/
+    CURRENT                      -> current snapshot id (atomic rename write)
+    snapshots/v{n}.json          -> manifest: live segments + delete files +
+                                    per-segment lineage/metrics (resumability)
+    seg_<id>/docs.parquet        -> ordinal, conv_id, turn_idx, role, text,
+                                    tool, ts, dl, norm  (sorted by ordinal)
+    seg_<id>/postings.parquet    -> term, df, cf, max_tf, blocks[...]
+    deletes/<id>.parquet         -> (segment string, ordinal long) positional
+                                    deletes (Lucene liveDocs analog)
+
+Commit protocol (mirrors Iceberg): write all data files, write the new
+snapshot json, then atomically swap CURRENT via os.rename. A killed build
+leaves CURRENT at the previous snapshot => resumable, never corrupt.
+
+On a real deployment this module is swapped for Iceberg catalog calls
+(writeTo(...).append() / MERGE INTO / VERSION AS OF); the sandbox has no
+Iceberg runtime jars, so the same semantics are implemented on plain parquet.
+Everything above this layer (indexer, queries, updates) is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class SegmentMeta:
+    segment_id: str
+    n_docs: int
+    sum_dl: int
+    slice_id: str  # lineage: which input slice produced this segment
+    tier_bytes: int = 0  # on-disk size, drives LSM tier selection
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentMeta":
+        return SegmentMeta(**d)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # "append" | "merge" | "update" | "delete"
+    segments: list[SegmentMeta]
+    delete_files: list[str]
+    committed_at: float
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def n_docs(self) -> int:
+        return sum(s.n_docs for s in self.segments)
+
+    @property
+    def sum_dl(self) -> int:
+        return sum(s.sum_dl for s in self.segments)
+
+
+class SegmentStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "deletes"), exist_ok=True)
+
+    # ------------------------------------------------------------ snapshots
+    def current_snapshot_id(self) -> int | None:
+        p = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        """Read a snapshot (time-travel: pass an older id == VERSION AS OF)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(os.path.join(self.root, "snapshots", f"v{sid}.json")) as f:
+            d = json.load(f)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            operation=d["operation"],
+            segments=[SegmentMeta.from_json(s) for s in d["segments"]],
+            delete_files=d["delete_files"],
+            committed_at=d["committed_at"],
+            summary=d.get("summary", {}),
+        )
+
+    def history(self) -> list[int]:
+        out = []
+        for name in os.listdir(os.path.join(self.root, "snapshots")):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def commit(
+        self,
+        segments: list[SegmentMeta],
+        operation: str,
+        delete_files: list[str] | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Atomically publish a new snapshot with the given live set."""
+        parent = self.current_snapshot_id()
+        sid = (parent or 0) + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": operation,
+            "segments": [s.to_json() for s in segments],
+            "delete_files": delete_files or [],
+            "committed_at": time.time(),
+            "summary": summary or {},
+        }
+        spath = os.path.join(self.root, "snapshots", f"v{sid}.json")
+        with open(spath, "w") as f:
+            json.dump(snap, f, indent=1)
+        tmp = os.path.join(self.root, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.rename(tmp, os.path.join(self.root, "CURRENT"))  # atomic swap
+        return self.snapshot(sid)
+
+    # ------------------------------------------------------------ file paths
+    def new_segment_id(self) -> str:
+        return f"seg_{uuid.uuid4().hex[:12]}"
+
+    def segment_dir(self, segment_id: str) -> str:
+        return os.path.join(self.root, segment_id)
+
+    def docs_path(self, segment_id: str) -> str:
+        return os.path.join(self.root, segment_id, "docs.parquet")
+
+    def postings_path(self, segment_id: str) -> str:
+        return os.path.join(self.root, segment_id, "postings.parquet")
+
+    def new_delete_file(self) -> str:
+        return os.path.join(self.root, "deletes", f"del_{uuid.uuid4().hex[:12]}.parquet")
+
+    # ------------------------------------------------------------ lineage
+    def completed_slices(self) -> set[str]:
+        """Slice ids already committed (resume support: skip finished slices)."""
+        snap = self.snapshot()
+        if snap is None:
+            return set()
+        return {s.slice_id for s in snap.segments if s.slice_id}
+
+    def dir_size(self, segment_id: str) -> int:
+        total = 0
+        d = self.segment_dir(segment_id)
+        for base, _, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+        return total
