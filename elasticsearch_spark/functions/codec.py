@@ -13,11 +13,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a non-negative int array."""
+def varbyte_encode_sized(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode; returns (uint8 buffer, bytes-per-value).
+
+    The sizes array lets callers that encoded many concatenated groups in one
+    call slice the buffer back into per-group ranges without re-encoding.
+    """
     a = np.asarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     bitlen = np.zeros(a.shape, dtype=np.int64)
     nz = a > 0
@@ -40,7 +44,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         chunk = (a[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
         is_last = nbytes[sel] == j + 1
         out[pos] = chunk.astype(np.uint8) | np.where(is_last, 0, 0x80).astype(np.uint8)
-    return out.tobytes()
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int array."""
+    buf, _ = varbyte_encode_sized(values)
+    return buf.tobytes()
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

