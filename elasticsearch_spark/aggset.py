@@ -1,0 +1,377 @@
+"""Aggregation fixture queries + independent DuckDB oracle SQL.
+
+Each entry runs through operators/aggs.py (the real compiler) on the Spark
+side; the oracle SQL is written BY HAND against the same transcripts view, so
+the two paths share nothing but the data — exactly what the driver's
+correctness gate wants. Double columns are rounded to 4dp on both sides
+(driver hash convention); pipeline nulls (first-bucket derivative etc.) are
+coalesced to 0 on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import analysis
+from .operators import aggs
+from .oracle import TRANSCRIPTS_CTE
+from .sources import transcripts as TR
+
+_TOKS = analysis.tokens_sql("text", "duckdb")
+
+
+def _round_doubles(df: DataFrame) -> DataFrame:
+    cols = [
+        F.round(F.col(f.name), 4).alias(f.name)
+        if isinstance(f.dataType, T.DoubleType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def _fix(body: dict, fill: dict | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = TR.transcripts_view(spark, sf_dir)
+        out = aggs.aggregate(docs, body)
+        if fill:
+            out = out.na.fill(fill)
+        return _round_doubles(out)
+
+    return run
+
+
+AGG_QUERIES: dict[str, dict] = {
+    # --- bucket: terms + metrics (terms/TermsAggregationBuilder; Avg/Max agg)
+    "agg_terms_role": {
+        "body": {
+            "aggs": {
+                "role": {
+                    "terms": {"field": "role", "size": 10},
+                    "aggs": {
+                        "avg_turn": {"avg": {"field": "turn_idx"}},
+                        "max_turn": {"max": {"field": "turn_idx"}},
+                    },
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT role, count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn,
+       max(turn_idx) AS max_turn
+FROM transcripts GROUP BY role ORDER BY doc_count DESC, role LIMIT 10""",
+    },
+    # --- query-scoped agg (match filter feeding the agg, §3.1 post_filter-ish)
+    "agg_terms_tool_match": {
+        "body": {
+            "query": {"match": {"text": "spark"}},
+            "aggs": {"tool": {"terms": {"field": "tool", "size": 10}}},
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT tool, count(*) AS doc_count FROM transcripts
+WHERE list_contains({_TOKS}, 'spark')
+GROUP BY tool ORDER BY doc_count DESC, tool LIMIT 10""",
+    },
+    # --- histogram (HistogramAggregationBuilder)
+    "agg_histogram_turns": {
+        "body": {
+            "aggs": {
+                "bucket": {
+                    "histogram": {"field": "turn_idx", "interval": 5},
+                    "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT floor(turn_idx / 5.0) * 5.0 AS bucket, count(*) AS doc_count,
+       round(avg(turn_idx), 4) AS avg_turn
+FROM transcripts GROUP BY 1 ORDER BY 1""",
+    },
+    # --- histogram with empty-bucket fill (min_doc_count=0 ES default)
+    "agg_histogram_empty_buckets": {
+        "body": {
+            "query": {"term": {"tool": "search"}},
+            "aggs": {
+                "bucket": {
+                    "histogram": {"field": "turn_idx", "interval": 2, "min_doc_count": 0},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE},
+hits AS (SELECT floor(turn_idx / 2.0) * 2.0 AS bucket, count(*) AS doc_count
+         FROM transcripts WHERE tool = 'search' GROUP BY 1),
+grid AS (SELECT unnest(generate_series(cast((SELECT min(bucket) / 2 FROM hits) as bigint),
+                                       cast((SELECT max(bucket) / 2 FROM hits) as bigint))) * 2.0 AS bucket)
+SELECT grid.bucket, coalesce(hits.doc_count, 0) AS doc_count
+FROM grid LEFT JOIN hits USING (bucket) ORDER BY bucket""",
+    },
+    # --- date_histogram + cumulative_sum pipeline
+    "agg_date_histogram_cumsum": {
+        "body": {
+            "aggs": {
+                "hour": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+                    "aggs": {"cum_docs": {"cumulative_sum": {"buckets_path": "_count"}}},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT hour, doc_count,
+       cast(sum(doc_count) OVER (ORDER BY hour) as bigint) AS cum_docs
+FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS doc_count
+      FROM transcripts GROUP BY 1) ORDER BY hour""",
+    },
+    # --- range agg (RangeAggregationBuilder)
+    "agg_range_turns": {
+        "body": {
+            "aggs": {
+                "rng": {
+                    "range": {
+                        "field": "turn_idx",
+                        "ranges": [{"to": 5}, {"from": 5, "to": 10}, {"from": 10}],
+                    },
+                    "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT rng, count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn FROM (
+  SELECT case when turn_idx < 5 then '-5'
+              when turn_idx < 10 then '5-10' else '10-' end AS rng, turn_idx
+  FROM transcripts) GROUP BY rng""",
+    },
+    # --- global stats / extended_stats (single row)
+    "agg_extended_stats": {
+        "body": {
+            "aggs": {"t": {"extended_stats": {"field": "turn_idx"}}}
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT count(turn_idx) AS t_count, cast(min(turn_idx) as double) AS t_min,
+       cast(max(turn_idx) as double) AS t_max, round(avg(turn_idx), 4) AS t_avg,
+       cast(sum(turn_idx) as double) AS t_sum,
+       round(var_pop(turn_idx), 4) AS t_variance,
+       round(stddev_pop(turn_idx), 4) AS t_std_deviation,
+       cast(sum(turn_idx * turn_idx) as double) AS t_sum_of_squares
+FROM transcripts""",
+    },
+    # --- exact percentiles (TDigest analog, DFS-exact contract)
+    "agg_percentiles": {
+        "body": {
+            "aggs": {
+                "pct": {"percentiles": {"field": "turn_idx", "percents": [25, 50, 75]}}
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT round(quantile_cont(turn_idx, 0.25), 4) AS pct_p25,
+       round(quantile_cont(turn_idx, 0.50), 4) AS pct_p50,
+       round(quantile_cont(turn_idx, 0.75), 4) AS pct_p75
+FROM transcripts""",
+    },
+    # --- cardinality + value_count + weighted_avg in one pass
+    "agg_cardinality_weighted": {
+        "body": {
+            "aggs": {
+                "n_convs": {"cardinality": {"field": "conv_id"}},
+                "n_texts": {"value_count": {"field": "text"}},
+                "w_turn": {
+                    "weighted_avg": {
+                        "value": {"field": "turn_idx"},
+                        "weight": {"field": "length(text)"},
+                    }
+                },
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT count(DISTINCT conv_id) AS n_convs, count(text) AS n_texts,
+       round(sum(turn_idx * length(text)) * 1.0 / sum(length(text)), 4) AS w_turn
+FROM transcripts""",
+    },
+    # --- filters agg (named conditional buckets)
+    "agg_filters": {
+        "body": {
+            "aggs": {
+                "grp": {
+                    "filters": {
+                        "filters": {
+                            "users": "role = 'user'",
+                            "coders": "tool = 'code'",
+                        }
+                    },
+                    "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT 'users' AS grp, count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn
+FROM transcripts WHERE role = 'user'
+UNION ALL
+SELECT 'coders', count(*), round(avg(turn_idx), 4) FROM transcripts WHERE tool = 'code'
+ORDER BY grp""",
+    },
+    # --- composite with after-key pagination
+    "agg_composite_role_tool": {
+        "body": {
+            "aggs": {
+                "comp": {
+                    "composite": {
+                        "size": 5,
+                        "sources": [
+                            {"role": {"terms": {"field": "role"}}},
+                            {"tool": {"terms": {"field": "tool"}}},
+                        ],
+                        "after": {"role": "assistant", "tool": "code"},
+                    }
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT role, tool, count(*) AS doc_count FROM transcripts
+GROUP BY role, tool HAVING (role, tool) > ('assistant', 'code')
+ORDER BY role, tool LIMIT 5""",
+    },
+    # --- top_hits per bucket (InternalTopHits)
+    "agg_top_hits_role": {
+        "body": {
+            "aggs": {
+                "role": {
+                    "terms": {"field": "role"},
+                    "aggs": {
+                        "latest": {
+                            "top_hits": {
+                                "size": 2,
+                                "sort": [{"ts": "desc"}],
+                                "_source": ["conv_id", "turn_idx"],
+                            }
+                        }
+                    },
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT role, conv_id, turn_idx FROM (
+  SELECT role, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY role ORDER BY ts DESC) AS rn
+  FROM transcripts) WHERE rn <= 2""",
+    },
+    # --- derivative pipeline over hourly buckets
+    "agg_derivative": {
+        "body": {
+            "aggs": {
+                "hour": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+                    "aggs": {"delta": {"derivative": {"buckets_path": "_count"}}},
+                }
+            }
+        },
+        "fill": {"delta": 0},
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT hour, doc_count,
+       coalesce(doc_count - lag(doc_count) OVER (ORDER BY hour), 0) AS delta
+FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS doc_count
+      FROM transcripts GROUP BY 1) ORDER BY hour""",
+    },
+    # --- moving_fn (trailing window avg, ES MovingFunctions.unweightedAvg)
+    "agg_moving_avg": {
+        "body": {
+            "aggs": {
+                "hour": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+                    "aggs": {
+                        "mov": {
+                            "moving_fn": {
+                                "buckets_path": "_count",
+                                "window": 3,
+                                "script": "MovingFunctions.unweightedAvg(values)",
+                            }
+                        }
+                    },
+                }
+            }
+        },
+        "fill": {"mov": 0.0},
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT hour, doc_count,
+       round(coalesce(avg(doc_count) OVER (ORDER BY hour ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0), 4) AS mov
+FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS doc_count
+      FROM transcripts GROUP BY 1) ORDER BY hour""",
+    },
+    # --- bucket_script + bucket_selector (HAVING analog)
+    "agg_bucket_script_selector": {
+        "body": {
+            "aggs": {
+                "role": {
+                    "terms": {"field": "role", "size": 10},
+                    "aggs": {
+                        "sum_turn": {"sum": {"field": "turn_idx"}},
+                        "per_doc": {
+                            "bucket_script": {
+                                "buckets_path": {"s": "sum_turn", "c": "_count"},
+                                "script": "params.s / params.c",
+                            }
+                        },
+                        "keep": {
+                            "bucket_selector": {
+                                "buckets_path": {"c": "_count"},
+                                "script": "params.c >= 50",
+                            }
+                        },
+                    },
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT role, count(*) AS doc_count, cast(sum(turn_idx) as bigint) AS sum_turn,
+       round(sum(turn_idx) * 1.0 / count(*), 4) AS per_doc
+FROM transcripts GROUP BY role HAVING count(*) >= 50
+ORDER BY doc_count DESC, role LIMIT 10""",
+    },
+    # --- significant_terms (JLH, SignificantTermsAggregationBuilder)
+    "agg_significant_terms": {
+        "oracle": f"""{TRANSCRIPTS_CTE},
+fg AS (SELECT tool, count(*) AS fg FROM transcripts WHERE list_contains(regexp_extract_all(lower(text), '[\\pL\\pN]+'), 'spark') GROUP BY tool),
+bg AS (SELECT tool, count(*) AS bg FROM transcripts GROUP BY tool),
+nfg AS (SELECT count(*) AS n FROM transcripts WHERE list_contains(regexp_extract_all(lower(text), '[\\pL\\pN]+'), 'spark')),
+nbg AS (SELECT count(*) AS n FROM transcripts)
+SELECT fg.tool AS tool, fg.fg AS doc_count, bg.bg AS bg_count,
+  round((fg.fg * 1.0 / nfg.n - bg.bg * 1.0 / nbg.n) * ((fg.fg * 1.0 / nfg.n) / (bg.bg * 1.0 / nbg.n)), 4) AS score
+FROM fg JOIN bg USING (tool) CROSS JOIN nfg CROSS JOIN nbg
+WHERE fg.fg * 1.0 / nfg.n > bg.bg * 1.0 / nbg.n
+ORDER BY score DESC, tool LIMIT 10""",
+    },
+    # --- median_absolute_deviation per role (reg SearchModule.java:388)
+    "agg_mad_role": {
+        "oracle": f"""{TRANSCRIPTS_CTE},
+med AS (SELECT role, quantile_cont(turn_idx, 0.5) AS m FROM transcripts GROUP BY role)
+SELECT t.role AS role, round(quantile_cont(abs(t.turn_idx - med.m), 0.5), 4) AS mad
+FROM transcripts t JOIN med USING (role) GROUP BY t.role""",
+    },
+}
+
+
+def _sig_terms_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    fg = docs.where(F.array_contains(analysis.tokens("text"), "spark"))
+    out = aggs.significant_terms(fg, docs, "tool", size=10)
+    return _round_doubles(out)
+
+
+def _mad_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return _round_doubles(aggs.aggregate_mad(docs, "turn_idx", group_by=["role"]))
+
+
+def agg_query_fns() -> dict:
+    out = {}
+    for name, spec in AGG_QUERIES.items():
+        if name == "agg_significant_terms":
+            out[name] = _sig_terms_fix
+        elif name == "agg_mad_role":
+            out[name] = _mad_fix
+        else:
+            out[name] = _fix(spec["body"], spec.get("fill"))
+    return out
+
+
+def agg_oracle_sql() -> dict[str, str]:
+    return {name: spec["oracle"] for name, spec in AGG_QUERIES.items()}

@@ -1,0 +1,459 @@
+"""Aggregations: ES aggs-dict -> DataFrame compiler (SURVEY.md §2.6).
+
+Reference registry: search/SearchModule.java:363-460 (metrics + buckets),
+:479-568 (pipeline aggs). ES computes shard-partial aggregations reduced at
+the coordinator (SearchPhaseController.java:293-332); Spark's partial/final
+physical aggregation is the built-in equivalent, so every metric/bucket here
+compiles to plain groupBy/agg/window — Catalyst plans the two-phase reduce.
+
+Flat-output convention (ES returns nested JSON; a DataFrame engine returns
+one row per innermost bucket):
+  * bucket aggs contribute their key column(s) + `doc_count`
+  * metric sub-aggs contribute one column per metric (stats/extended_stats
+    contribute `<name>_count`, `<name>_min`, ... families)
+  * pipeline aggs contribute one column (or filter/sort the bucket rows)
+
+Divergences (documented, deliberate):
+  * terms is EXACT top-N (global groupBy) — no shard_size over-fetch or
+    doc_count_error_upper_bound (TermsAggregationBuilder.java:62,179-180),
+    because Spark's shuffle makes the exact answer as cheap as the sketch.
+  * cardinality is exact count_distinct by default; pass
+    {"approx": true} for HyperLogLog++ (approx_count_distinct), the
+    reference's algorithm (HyperLogLogPlusPlus.java:53-70).
+  * percentiles are exact interpolated percentiles, not TDigest
+    (AbstractTDigestPercentilesAggregator.java); same contract as DFS-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_KINDS = {
+    "terms",
+    "rare_terms",
+    "histogram",
+    "date_histogram",
+    "range",
+    "filters",
+    "missing",
+    "composite",
+    "significant_terms",
+}
+PIPELINE_KINDS = {
+    "cumulative_sum",
+    "derivative",
+    "moving_fn",
+    "serial_diff",
+    "avg_bucket",
+    "sum_bucket",
+    "min_bucket",
+    "max_bucket",
+    "stats_bucket",
+    "bucket_script",
+    "bucket_selector",
+    "bucket_sort",
+}
+
+
+def aggregate(docs: DataFrame, body: dict) -> DataFrame:
+    """Run an ES-style {"query": ..., "aggs": {...}} body over a docs DF."""
+    if body.get("query"):
+        from ..plans import query_dsl as Q
+
+        key_cols = body.get("_key_cols", ["conv_id", "turn_idx"])
+        matched = Q.compile_query(body["query"], docs, key_cols)
+        docs = docs.join(matched.select(*key_cols), key_cols, "left_semi")
+
+    aggs: dict = body["aggs"]
+    bucket = [(n, s) for n, s in aggs.items() if _kind(s) in BUCKET_KINDS]
+    pipeline = [(n, s) for n, s in aggs.items() if _kind(s) in PIPELINE_KINDS]
+    metrics = [
+        (n, s)
+        for n, s in aggs.items()
+        if _kind(s) not in BUCKET_KINDS and _kind(s) not in PIPELINE_KINDS
+    ]
+    if len(bucket) > 1:
+        raise ValueError("one bucket agg per level (nest via sub-aggs)")
+
+    if not bucket:
+        th = [(n, s) for n, s in metrics if _kind(s) == "top_hits"]
+        if th:
+            (name, spec), = th
+            return _top_hits(docs, spec[_kind(spec)], group_cols=[])
+        cols = []
+        for n, s in metrics:
+            cols.extend(_metric_cols(docs, n, s))
+        return docs.agg(*cols)
+
+    (bname, bspec), = bucket
+    kind = _kind(bspec)
+    sub = bspec.get("aggs", {})
+    sub_metrics = [(n, s) for n, s in sub.items() if _kind(s) not in PIPELINE_KINDS]
+    sub_pipeline = [(n, s) for n, s in sub.items() if _kind(s) in PIPELINE_KINDS] + pipeline
+
+    th = [(n, s) for n, s in sub_metrics if _kind(s) == "top_hits"]
+    plain = [(n, s) for n, s in sub_metrics if _kind(s) != "top_hits"]
+
+    out, key_cols, order = _bucket(docs, bname, bspec[kind], kind, plain)
+    if th:
+        (tn, ts), = th
+        kc = _bucket_key_exprs(bname, bspec[kind], kind)
+        kn = ([next(iter(s_)) for s_ in bspec[kind]["sources"]] if kind == "composite" else [bname])
+        return _top_hits(docs, ts[_kind(ts)], group_cols=kc, group_names=kn)
+    for pname, pspec in sub_pipeline:
+        out = _apply_pipeline(out, pname, pspec, order)
+    return out
+
+
+# ------------------------------------------------------------------- helpers
+def _kind(spec: dict) -> str:
+    ks = [k for k in spec if k != "aggs"]
+    if len(ks) != 1:
+        raise ValueError(f"agg spec must have one kind: {list(spec)}")
+    return ks[0]
+
+
+def _metric_cols(docs: DataFrame, name: str, spec: dict) -> list[Column]:
+    kind = _kind(spec)
+    b = spec[kind]
+    field = b.get("field")
+    c = F.expr(field) if field else None
+    if kind == "avg":
+        return [F.avg(c).alias(name)]
+    if kind == "sum":
+        return [F.sum(c).alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "cardinality":
+        if b.get("approx"):
+            return [F.approx_count_distinct(c, b.get("rsd", 0.0105)).alias(name)]
+        return [F.count_distinct(c).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).cast("double").alias(f"{name}_min"),
+            F.max(c).cast("double").alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).cast("double").alias(f"{name}_sum"),
+        ]
+    if kind == "extended_stats":
+        # ES variance/std_deviation are population (ExtendedStatsAggregator)
+        return _metric_cols(docs, name, {"stats": b}) + [
+            F.var_pop(c).alias(f"{name}_variance"),
+            F.stddev_pop(c).alias(f"{name}_std_deviation"),
+            F.sum(c * c).cast("double").alias(f"{name}_sum_of_squares"),
+        ]
+    if kind == "weighted_avg":
+        v = F.expr(b["value"]["field"])
+        w = F.expr(b["weight"]["field"])
+        return [(F.sum(v * w) / F.sum(w)).alias(name)]
+    if kind == "percentiles":
+        pcts = b.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return [
+            F.percentile(c, F.lit(p / 100.0)).alias(f"{name}_p{_pname(p)}") for p in pcts
+        ]
+    if kind == "median_absolute_deviation":
+        # exact MAD is a two-pass nested median -> aggregate_mad()
+        raise ValueError("median_absolute_deviation: use aggregate_mad()")
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def _pname(p) -> str:
+    return str(p).replace(".", "_")
+
+
+def aggregate_mad(docs: DataFrame, field: str, group_by: list[str] | None = None) -> DataFrame:
+    """median_absolute_deviation (reg SearchModule.java:388): exact two-pass
+    median(|x - median(x)|), per group when group_by given."""
+    gb = group_by or []
+    med = docs.groupBy(*gb).agg(F.percentile(F.col(field), F.lit(0.5)).alias("_med"))
+    j = docs.join(F.broadcast(med), gb) if gb else docs.crossJoin(F.broadcast(med))
+    dev = j.select(*gb, F.abs(F.col(field) - F.col("_med")).alias("_dev"))
+    out = dev.groupBy(*gb).agg(F.percentile(F.col("_dev"), F.lit(0.5)).alias("mad"))
+    return out
+
+
+def _bucket_key_exprs(bname: str, b: dict, kind: str) -> list[Column]:
+    if kind in ("terms", "rare_terms", "significant_terms", "missing"):
+        return [F.col(b["field"]).alias(bname)]
+    if kind == "histogram":
+        interval = float(b["interval"])
+        off = float(b.get("offset", 0.0))
+        c = F.col(b["field"]).cast("double")
+        return [(F.floor((c - off) / interval) * interval + off).alias(bname)]
+    if kind == "date_histogram":
+        c = F.col(b["field"])
+        if "calendar_interval" in b:
+            return [F.date_trunc(b["calendar_interval"], c).alias(bname)]
+        secs = _interval_seconds(b["fixed_interval"])
+        return [
+            (F.floor(F.unix_timestamp(c) / secs) * secs).cast("timestamp").alias(bname)
+        ]
+    if kind == "composite":
+        out = []
+        for src in b["sources"]:
+            (sname, sspec), = src.items()
+            out.append(F.col(sspec["terms"]["field"]).alias(sname))
+        return out
+    raise ValueError(kind)
+
+
+def _interval_seconds(s: str) -> int:
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    return int(s[:-1]) * units[s[-1]]
+
+
+def _bucket(docs: DataFrame, bname: str, b: dict, kind: str, sub_metrics):
+    """Returns (bucket DF, key col names, pipeline ordering columns)."""
+    mcols = []
+    for n, s in sub_metrics:
+        mcols.extend(_metric_cols(docs, n, s))
+
+    if kind in ("terms", "rare_terms", "significant_terms"):
+        key = _bucket_key_exprs(bname, b, kind)[0]
+        grouped = docs.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        if kind == "terms":
+            size = int(b.get("size", 10))
+            order = b.get("order", {"_count": "desc"})
+            (ofield, odir), = order.items()
+            ocol = F.col("doc_count") if ofield == "_count" else (
+                F.col(bname) if ofield == "_key" else F.col(ofield)
+            )
+            ocol = ocol.desc() if odir == "desc" else ocol.asc()
+            return grouped.orderBy(ocol, F.col(bname).asc()).limit(size), [bname], [bname]
+        if kind == "rare_terms":
+            mx = int(b.get("max_doc_count", 1))
+            return (
+                grouped.where(F.col("doc_count") <= mx).orderBy(bname),
+                [bname],
+                [bname],
+            )
+        # significant_terms needs a background set -> significant_terms()
+        raise ValueError("significant_terms: use significant_terms() directly")
+
+    if kind in ("histogram", "date_histogram"):
+        key = _bucket_key_exprs(bname, b, kind)[0]
+        grouped = docs.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        mdc = int(b.get("min_doc_count", 1))
+        if mdc > 0:
+            grouped = grouped.where(F.col("doc_count") >= mdc)
+        elif kind == "histogram":
+            # ES min_doc_count=0: materialize empty buckets across data range
+            interval = float(b["interval"])
+            lohi = grouped.agg(
+                F.min(bname).alias("lo"), F.max(bname).alias("hi")
+            ).first()
+            if lohi.lo is not None:
+                lo_i, hi_i = round(lohi.lo / interval), round(lohi.hi / interval)
+                full = docs.sparkSession.range(lo_i, hi_i + 1).select(
+                    (F.col("id") * interval).alias(bname)
+                )
+                grouped = (
+                    full.join(grouped, bname, "left")
+                    .na.fill({"doc_count": 0})
+                )
+        return grouped.orderBy(bname), [bname], [bname]
+
+    if kind == "range":
+        c = F.col(b["field"]).cast("double")
+        branches = []
+        for r in b["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get("key") or f"{'' if lo is None else _num(lo)}-{'' if hi is None else _num(hi)}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= float(lo))
+            if hi is not None:
+                cond = cond & (c < float(hi))
+            branches.append((label, cond, 0.0 if lo is None else float(lo)))
+        tagged = docs.select(
+            "*",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(cond, F.struct(F.lit(label).alias("key"), F.lit(srt).alias("_srt")))
+                            for label, cond, srt in branches
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("_r"),
+        ).select("*", F.col("_r.key").alias(bname), F.col("_r._srt").alias("_srt"))
+        grouped = tagged.groupBy(bname, "_srt").agg(
+            F.count(F.lit(1)).alias("doc_count"), *mcols
+        )
+        return grouped.orderBy("_srt").drop("_srt"), [bname], [bname]
+
+    if kind == "filters":
+        named = b["filters"]
+        branches = [(n, F.expr(sql)) for n, sql in named.items()]
+        tagged = docs.select(
+            "*",
+            F.explode(
+                F.filter(
+                    F.array(*[F.when(cond, F.lit(n)) for n, cond in branches]),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias(bname),
+        )
+        grouped = tagged.groupBy(bname).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        return grouped.orderBy(bname), [bname], [bname]
+
+    if kind == "missing":
+        c = F.col(b["field"])
+        out = docs.where(c.isNull()).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        return out, [], []
+
+    if kind == "composite":
+        knames = [next(iter(src)) for src in b["sources"]]
+        keys = _bucket_key_exprs(bname, b, kind)
+        grouped = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        after = b.get("after")
+        if after:
+            from functools import reduce as _red
+
+            vals = [after[n] for n in knames]
+            # lexicographic (k1, k2, ...) > (v1, v2, ...)
+            conds = []
+            for i in range(len(knames)):
+                eqs = [F.col(knames[j]) == F.lit(vals[j]) for j in range(i)]
+                gt = F.col(knames[i]) > F.lit(vals[i])
+                conds.append(_red(lambda a, x: a & x, eqs, F.lit(True)) & gt)
+            grouped = grouped.where(_red(lambda a, x: a | x, conds))
+        size = int(b.get("size", 10))
+        return grouped.orderBy(*[F.col(k).asc() for k in knames]).limit(size), knames, knames
+
+    raise ValueError(f"unsupported bucket agg: {kind}")
+
+
+def _num(v) -> str:
+    f = float(v)
+    return str(int(f)) if f == int(f) else str(f)
+
+
+def _top_hits(docs: DataFrame, b: dict, group_cols: list[Column], group_names: list[str] | None = None) -> DataFrame:
+    """top_hits (InternalTopHits.java): per-bucket top-N rows; flat output =
+    one row per hit with the bucket key leading."""
+    size = int(b.get("size", 3))
+    sort = b.get("sort", [])
+    ocols = []
+    for s in sort:
+        (f_, d), = s.items()
+        d = d["order"] if isinstance(d, dict) else d
+        ocols.append(F.col(f_).desc() if d == "desc" else F.col(f_).asc())
+    if not ocols:
+        ocols = [F.col("conv_id").asc(), F.col("turn_idx").asc()]
+    group_names = group_names or []
+    if group_cols:
+        rest = [c for c in docs.columns if c not in group_names]
+        tagged = docs.select(*group_cols, *rest)
+        w = Window.partitionBy(*group_names).orderBy(*ocols)
+    else:
+        tagged = docs
+        w = Window.partitionBy().orderBy(*ocols)
+    src = b.get("_source")
+    out = tagged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= size).drop("_rn")
+    if src:
+        out = out.select(*dict.fromkeys(group_names + list(src)))
+    return out
+
+
+def significant_terms(
+    docs_fg: DataFrame, docs_bg: DataFrame, field: str, size: int = 10
+) -> DataFrame:
+    """significant_terms (reg SearchModule.java:421): JLH score of foreground
+    vs background frequency contrast.
+    JLH = (fg% - bg%) * (fg% / bg%), fg% = df_fg/n_fg over the subset."""
+    fg = docs_fg.groupBy(field).agg(F.count(F.lit(1)).alias("fg"))
+    bg = docs_bg.groupBy(field).agg(F.count(F.lit(1)).alias("bg"))
+    n_fg = docs_fg.count()
+    n_bg = docs_bg.count()
+    j = fg.join(bg, field)
+    fgp = F.col("fg") / F.lit(float(n_fg))
+    bgp = F.col("bg") / F.lit(float(n_bg))
+    out = (
+        j.select(
+            field,
+            F.col("fg").alias("doc_count"),
+            F.col("bg").alias("bg_count"),
+            F.when(fgp > bgp, (fgp - bgp) * (fgp / bgp)).otherwise(0.0).alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(field).asc())
+        .limit(size)
+    )
+    return out
+
+
+# ------------------------------------------------------------------ pipeline
+def _apply_pipeline(out: DataFrame, name: str, spec: dict, order: list[str]) -> DataFrame:
+    """Second-pass ops over the bucket DF (reg SearchModule.java:479-568).
+    Buckets are processed in natural key order, like ES histogram order."""
+    kind = _kind(spec)
+    b = spec[kind]
+    path = b.get("buckets_path")
+    if isinstance(path, str):
+        src = "doc_count" if path == "_count" else path
+    w = Window.orderBy(*[F.col(c).asc() for c in order]) if order else Window.orderBy(F.lit(1))
+    if kind == "cumulative_sum":
+        return out.withColumn(name, F.sum(src).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    if kind == "derivative":
+        return out.withColumn(name, F.col(src) - F.lag(src, 1).over(w))
+    if kind == "serial_diff":
+        lag = int(b.get("lag", 1))
+        return out.withColumn(name, F.col(src) - F.lag(src, lag).over(w))
+    if kind == "moving_fn":
+        window = int(b["window"])
+        # ES window is the PRECEDING window excluding current by default shift=0
+        fn = b.get("script", "MovingFunctions.unweightedAvg(values)")
+        wf = w.rowsBetween(-window, -1)
+        if "max" in fn:
+            return out.withColumn(name, F.max(src).over(wf))
+        if "min" in fn:
+            return out.withColumn(name, F.min(src).over(wf))
+        if "sum" in fn:
+            return out.withColumn(name, F.sum(src).over(wf))
+        return out.withColumn(name, F.avg(src).over(wf))
+    if kind in ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket"):
+        wa = Window.partitionBy()
+        fns = {
+            "avg_bucket": F.avg,
+            "sum_bucket": F.sum,
+            "min_bucket": F.min,
+            "max_bucket": F.max,
+        }
+        if kind == "stats_bucket":
+            for suffix, fn in [("avg", F.avg), ("sum", F.sum), ("min", F.min), ("max", F.max), ("count", F.count)]:
+                out = out.withColumn(f"{name}_{suffix}", fn(src).over(wa))
+            return out
+        return out.withColumn(name, fns[kind](src).over(wa))
+    if kind == "bucket_script":
+        # script references bucket columns through buckets_path params
+        expr = b["script"]
+        for pname, ppath in (b.get("buckets_path") or {}).items():
+            col = "doc_count" if ppath == "_count" else ppath
+            expr = expr.replace(f"params.{pname}", col)
+        return out.withColumn(name, F.expr(expr))
+    if kind == "bucket_selector":
+        expr = b["script"]
+        for pname, ppath in (b.get("buckets_path") or {}).items():
+            col = "doc_count" if ppath == "_count" else ppath
+            expr = expr.replace(f"params.{pname}", col)
+        return out.where(F.expr(expr))
+    if kind == "bucket_sort":
+        ocols = []
+        for s in b.get("sort", []):
+            (f_, d), = s.items()
+            d = d["order"] if isinstance(d, dict) else d
+            ocols.append(F.col(f_).desc() if d == "desc" else F.col(f_).asc())
+        o = out.orderBy(*ocols) if ocols else out
+        if "size" in b:
+            o = o.limit(int(b["size"]))
+        return o
+    raise ValueError(f"unsupported pipeline agg: {kind}")
