@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from elasticsearch_spark import aggset, oracle  # noqa: E402
+from elasticsearch_spark import aggset, oracle, pipeset  # noqa: E402
 from elasticsearch_spark.plans import query_dsl as Q  # noqa: E402
 from elasticsearch_spark.queryset import DEFAULT_K, SEARCH_QUERIES  # noqa: E402
 from elasticsearch_spark.sources import transcripts as TR  # noqa: E402
@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in INDEXED_QUERY_NAMES:
         out[f"indexed_{name}"] = _indexed_fn(SEARCH_QUERIES[name])
     out.update(aggset.agg_query_fns())
+    out.update(pipeset.pipe_query_fns())
     return out
 
 
@@ -91,4 +92,5 @@ def oracle_sql() -> dict[str, str]:
     for name in INDEXED_QUERY_NAMES:
         out[f"indexed_{name}"] = oracle.search_sql(SEARCH_QUERIES[name], DEFAULT_K)
     out.update(aggset.agg_oracle_sql())
+    out.update(pipeset.pipe_oracle_sql())
     return out
