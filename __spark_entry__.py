@@ -19,7 +19,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from elasticsearch_spark import aggset, oracle, pipeset  # noqa: E402
 from elasticsearch_spark.plans import query_dsl as Q  # noqa: E402
-from elasticsearch_spark.queryset import DEFAULT_K, SEARCH_QUERIES  # noqa: E402
+from elasticsearch_spark.operators import cursor  # noqa: E402
+from elasticsearch_spark.queryset import (  # noqa: E402
+    COLLAPSE_FIXTURE,
+    DEFAULT_K,
+    RESCORE_FIXTURE,
+    SEARCH_AFTER_FIXTURE,
+    SEARCH_QUERIES,
+)
 from elasticsearch_spark.sources import transcripts as TR  # noqa: E402
 
 KEYS = ["conv_id", "turn_idx"]
@@ -82,6 +89,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"indexed_{name}"] = _indexed_fn(SEARCH_QUERIES[name])
     out.update(aggset.agg_query_fns())
     out.update(pipeset.pipe_query_fns())
+
+    def _search_after(spark, sf_dir):
+        f = SEARCH_AFTER_FIXTURE
+        return cursor.search_after(
+            TR.transcripts_view(spark, sf_dir), f["query"], KEYS,
+            f["sort_cols"], f["after"], f["size"],
+        )
+
+    def _collapse(spark, sf_dir):
+        f = COLLAPSE_FIXTURE
+        return cursor.collapse(
+            TR.transcripts_view(spark, sf_dir), f["query"], KEYS,
+            f["field"], f["k"], f["inner_hits"],
+        )
+
+    def _rescore(spark, sf_dir):
+        f = RESCORE_FIXTURE
+        return cursor.rescore(
+            TR.transcripts_view(spark, sf_dir), f["query"], f["rescore_query"], KEYS,
+            f["window_size"], f["query_weight"], f["rescore_query_weight"], f["k"],
+        )
+
+    out["cursor_search_after"] = _search_after
+    out["cursor_collapse"] = _collapse
+    out["cursor_rescore"] = _rescore
+
+    def _highlight(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from elasticsearch_spark.functions import analysis, highlight
+
+        qd = SEARCH_QUERIES["match_or_topk"]
+        terms = analysis.analyze(qd["match"]["text"])
+        docs = TR.transcripts_view(spark, sf_dir)
+        hits = Q.search(docs, qd, KEYS, k=DEFAULT_K)
+        return hits.join(docs.select(*KEYS, "text"), KEYS).select(
+            *KEYS, "score", highlight.fragment_expr("text", terms).alias("fragment")
+        )
+
+    out["highlight_match"] = _highlight
     return out
 
 
@@ -93,4 +140,21 @@ def oracle_sql() -> dict[str, str]:
         out[f"indexed_{name}"] = oracle.search_sql(SEARCH_QUERIES[name], DEFAULT_K)
     out.update(aggset.agg_oracle_sql())
     out.update(pipeset.pipe_oracle_sql())
+    fa, fc, fr = SEARCH_AFTER_FIXTURE, COLLAPSE_FIXTURE, RESCORE_FIXTURE
+    out["cursor_search_after"] = oracle.search_after_sql(
+        fa["query"], fa["sort_cols"], fa["after"], fa["size"]
+    )
+    out["cursor_collapse"] = oracle.collapse_sql(
+        fc["query"], fc["field"], fc["k"], fc["inner_hits"]
+    )
+    out["cursor_rescore"] = oracle.rescore_sql(
+        fr["query"], fr["rescore_query"], fr["window_size"],
+        fr["query_weight"], fr["rescore_query_weight"], fr["k"],
+    )
+    from elasticsearch_spark.functions import analysis as _an
+
+    hq = SEARCH_QUERIES["match_or_topk"]
+    out["highlight_match"] = oracle.highlight_search_sql(
+        hq, _an.analyze(hq["match"]["text"]), DEFAULT_K
+    )
     return out

@@ -160,11 +160,14 @@ def run_scaling(n_base: int = 1, trials: int = 2) -> dict:
     best: dict[int, float] = {}
     for trial in range(trials):
         for cores in levels:
-            spark = _spark(f"local[{cores}]", cores)
+            # tasks sized to memory, not 1:1 with cores: 4 waves of smaller
+            # sorts per core keeps the (term,bk) sort in-memory and lets the
+            # scheduler balance — same rule a real cluster would use
+            spark = _spark(f"local[{cores}]", 4 * cores)
             root = tempfile.mkdtemp(prefix=f"es_scale_{cores}_")
             try:
                 _warmup(spark)
-                _, secs = _build(spark, n_turns, root, max(cores, 2))
+                _, secs = _build(spark, n_turns, root, 4 * cores)
                 best[cores] = min(best.get(cores, float("inf")), secs)
             finally:
                 shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,182 @@
+"""Cursoring / pagination / re-ranking operators (SURVEY.md §2.1, §2.5).
+
+Reference semantics:
+  * from/size        — SearchService.java:165-166 (defaults 0/10).
+  * search_after     — cursor by sort-key tuple (SearchAfterBuilder.java):
+                       WHERE (sort keys) > (last seen) — no deep-paging cost.
+  * scroll           — stateful cursor over a point-in-time reader
+                       (SearchScrollQueryThenFetchAsyncAction; MinDocQuery
+                       skip optimization QueryPhase.java:183-215). Spark
+                       analog: pin an immutable snapshot id, page by the
+                       dense index-time ordinal — each page is a range scan
+                       the parquet reader prunes by ordinal min/max.
+  * sliced scroll    — hash(doc) slices (slice/SliceBuilder.java): pmod of
+                       xxhash64 over the doc key.
+  * field collapse   — one best hit per key + inner_hits expansion
+                       (CollapsingTopDocsCollectorContext,
+                       ExpandSearchPhase.java) -> row_number windows.
+  * rescore          — re-rank the top `window_size` docs with a second query
+                       (search/rescore/QueryRescorer.java): final =
+                       query_weight * first + rescore_query_weight * second
+                       for docs in the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import query_dsl as Q
+
+
+def from_size(scored_sorted: DataFrame, from_: int = 0, size: int = 10) -> DataFrame:
+    """Offset pagination: LIMIT from+size then slice (coordinator-side skip,
+    like ES's from+size over merged shard tops)."""
+    w = Window.orderBy(F.lit(1))  # rows already globally sorted upstream
+    head = scored_sorted.limit(from_ + size)
+    return (
+        head.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > from_)
+        .drop("_rn")
+    )
+
+
+def search_after(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    sort_cols: list[str],
+    after: tuple | None,
+    size: int = 10,
+) -> DataFrame:
+    """Keyset pagination: strict lexicographic (sort tuple) > after."""
+    scored = Q.compile_query(query, docs, key_cols)
+    full = scored.join(docs, key_cols)
+    if after is not None:
+        pred = None
+        for i in range(len(sort_cols)):
+            eqs = [F.col(sort_cols[j]) == F.lit(after[j]) for j in range(i)]
+            gt = F.col(sort_cols[i]) > F.lit(after[i])
+            clause = gt
+            for e in eqs:
+                clause = e & clause
+            pred = clause if pred is None else (pred | clause)
+        full = full.where(pred)
+    return (
+        full.orderBy(*[F.col(c).asc() for c in sort_cols])
+        .limit(size)
+        .select(*key_cols, *[c for c in sort_cols if c not in key_cols])
+    )
+
+
+class Scroll:
+    """Point-in-time cursor over a segment store: the snapshot id is pinned at
+    open (writers never disturb it), pages advance by ordinal ranges."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        size: int = 100,
+        predicate: str | None = None,
+        snapshot_id: int | None = None,
+        n_slices: int = 1,
+        slice_id: int = 0,
+    ):
+        from .topk import read_segment_docs
+
+        self.snapshot_id = snapshot_id if snapshot_id is not None else store.current_snapshot_id()
+        snap = store.snapshot(self.snapshot_id)
+        docs = read_segment_docs(spark, store, snap)
+        if snap.delete_files:
+            dels = spark.read.parquet(*snap.delete_files)
+            docs = docs.join(dels, ["segment", "ordinal"], "left_anti")
+        if predicate:
+            docs = docs.where(predicate)
+        if n_slices > 1:
+            # sliced scroll: hash-slice by doc key (TermsSliceQuery analog)
+            h = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_slices))
+            docs = docs.where(h == slice_id)
+        self._docs = docs
+        self._size = size
+        self._cursor = (None, -1)  # (segment, ordinal) last seen
+
+    def next_page(self) -> list:
+        seg, off = self._cursor
+        d = self._docs
+        if seg is not None:
+            d = d.where(
+                (F.col("segment") > seg)
+                | ((F.col("segment") == seg) & (F.col("ordinal") > off))
+            )
+        rows = d.orderBy("segment", "ordinal").limit(self._size).collect()
+        if rows:
+            self._cursor = (rows[-1].segment, rows[-1].ordinal)
+        return rows
+
+
+def collapse(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    collapse_field: str,
+    k: int = 10,
+    inner_hits: int = 0,
+) -> DataFrame:
+    """Field collapse: best hit per collapse key ranked by score; optional
+    inner_hits expansion returns the per-key top inner_hits rows flat."""
+    scored = Q.compile_query(query, docs, key_cols).join(
+        docs.select(*key_cols, collapse_field), key_cols
+    )
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.round(F.col("score"), 6).desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    keep = max(1, inner_hits)
+    out = (
+        ranked.where(F.col("_rn") <= keep)
+        .select(
+            collapse_field,
+            *key_cols,
+            F.round(F.col("score"), 4).alias("score"),
+            F.col("_rn").alias("hit_rank"),
+        )
+    )
+    # top-k collapse groups by their best (rank-1) score
+    best = out.where(F.col("hit_rank") == 1).orderBy(
+        F.col("score").desc(), F.col(collapse_field).asc()
+    ).limit(k).select(collapse_field)
+    return out.join(F.broadcast(best), collapse_field)
+
+
+def rescore(
+    docs: DataFrame,
+    query: dict,
+    rescore_query: dict,
+    key_cols: list[str],
+    window_size: int = 10,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """QueryRescorer: first-pass top-window re-scored by a second query."""
+    first = Q.compile_query(query, docs, key_cols)
+    window = (
+        first.orderBy(F.round(F.col("score"), 6).desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(window_size)
+    )
+    second = Q.compile_query(rescore_query, docs, key_cols).withColumnRenamed(
+        "score", "_s2"
+    )
+    combined = window.join(second, key_cols, "left").select(
+        *key_cols,
+        (
+            F.col("score") * F.lit(query_weight)
+            + F.coalesce(F.col("_s2"), F.lit(0.0)) * F.lit(rescore_query_weight)
+        ).alias("score"),
+    )
+    return (
+        combined.orderBy(F.round(F.col("score"), 6).desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+        .select(*key_cols, F.round(F.col("score"), 4).alias("score"))
+    )

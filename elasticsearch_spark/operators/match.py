@@ -80,8 +80,11 @@ def match_scores(
     operator: str = "or",
     minimum_should_match: int | None = None,
     stats: CorpusStats | None = None,
+    keep_n_matched: bool = False,
 ) -> DataFrame:
-    """(keys..., score) for every doc matching the match query (unsorted, no limit)."""
+    """(keys..., score) for every doc matching the match query (unsorted, no
+    limit). keep_n_matched retains the matched-distinct-term count column for
+    per-doc-threshold queries (terms_set)."""
     qterms = list(dict.fromkeys(analysis.analyze(query_text)))
     if not qterms:  # zero_terms_query=NONE
         return docs.select(*key_cols, F.lit(0.0).alias("score")).where(F.lit(False))
@@ -91,7 +94,8 @@ def match_scores(
         F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_matched")
     )
     need = len(qterms) if operator.lower() == "and" else (minimum_should_match or 1)
-    return agg.where(F.col("n_matched") >= need).drop("n_matched")
+    out = agg.where(F.col("n_matched") >= need)
+    return out if keep_n_matched else out.drop("n_matched")
 
 
 def top_k(scored: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:

@@ -110,6 +110,96 @@ def _match_phrase_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
     return ctes, alias
 
 
+def _match_phrase_prefix_sql(field: str, spec, alias: str) -> tuple[str, str]:
+    """Twin of plans/query_dsl._match_phrase_prefix: phrase of leading terms,
+    trailing term as a position-anchored prefix; idf over leading terms only
+    (documented divergence from ES expansion-blended idf)."""
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    qterms = analyze(spec["query"])
+    lead, pref = qterms[:-1], qterms[-1]
+    m = len(qterms)
+    t = _toks(field)
+    conds = [f"toks[p + {i}] = {_sql_str(term)}" for i, term in enumerate(lead)]
+    conds.append(f"starts_with(toks[p + {m - 1}], {_sql_str(pref)})")
+    cond = " AND ".join(conds)
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    idf = scoring.idf_sql("n_docs", "df")
+    if lead:
+        terms_in = ", ".join(_sql_str(x) for x in sorted(set(lead)))
+        idf_cte = f"""
+{alias}_idf AS (
+  SELECT sum({idf}) AS idf_sum FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM {alias}_docs
+    ) WHERE term IN ({terms_in}) GROUP BY term
+  ) CROSS JOIN {alias}_stats
+)"""
+    else:
+        idf_cte = f"\n{alias}_idf AS (SELECT 1.0 AS idf_sum)"
+    ctes = f"""
+{alias}_docs AS (
+  SELECT conv_id, turn_idx, {t} AS toks, len({t}) AS dl FROM transcripts
+),
+{alias}_pf AS (
+  SELECT conv_id, turn_idx, dl,
+    len(list_filter(generate_series(1, greatest(len(toks) - {m - 1}, 0)), p -> {cond})) AS pf
+  FROM {alias}_docs
+),
+{alias}_stats AS (
+  SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM {alias}_docs
+),{idf_cte},
+{alias} AS (
+  SELECT conv_id, turn_idx,
+    idf_sum * {K1 + 1.0} * pf / (pf + ({K1} * (1.0 - {B} + {B} * cast({dl_q} as double) / avgdl))) AS score
+  FROM {alias}_pf CROSS JOIN {alias}_stats CROSS JOIN {alias}_idf
+  WHERE pf > 0
+)"""
+    return ctes, alias
+
+
+def _terms_set_sql(field: str, spec: dict, alias: str) -> tuple[str, str]:
+    """Twin of plans/query_dsl._terms_set: per-doc msm threshold from a field
+    or SQL expression; score = sum of matched-term BM25."""
+    terms = sorted({t.lower() for t in spec["terms"]})
+    msm_expr = spec.get("minimum_should_match_field") or spec.get(
+        "minimum_should_match_script"
+    )
+    terms_in = ", ".join(_sql_str(t) for t in terms)
+    t = _toks(field)
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    idf = scoring.idf_sql("n_docs", "df")
+    score = scoring.term_score_sql("tf", dl_q, "avgdl", idf)
+    ctes = f"""
+{alias}_toks AS (
+  SELECT conv_id, turn_idx, len({t}) AS dl, unnest({t}) AS term FROM transcripts
+),
+{alias}_tf AS (
+  SELECT conv_id, turn_idx, dl, term, count(*) AS tf
+  FROM {alias}_toks WHERE term IN ({terms_in})
+  GROUP BY conv_id, turn_idx, dl, term
+),
+{alias}_stats AS (
+  SELECT count(*) AS n_docs, sum(len({t})) * 1.0 / count(*) AS avgdl FROM transcripts
+),
+{alias}_df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM {alias}_toks WHERE term IN ({terms_in})
+  ) GROUP BY term
+),
+{alias}_msm AS (
+  SELECT conv_id, turn_idx, ({msm_expr}) AS msm FROM transcripts
+),
+{alias} AS (
+  SELECT f.conv_id, f.turn_idx, sum({score}) AS score
+  FROM {alias}_tf f JOIN {alias}_df USING (term) CROSS JOIN {alias}_stats
+  JOIN {alias}_msm m ON m.conv_id = f.conv_id AND m.turn_idx = f.turn_idx
+  GROUP BY f.conv_id, f.turn_idx
+  HAVING count(*) >= max(m.msm)
+)"""
+    return ctes, alias
+
+
 def _pred_sql(kind: str, body: dict) -> str:
     if kind == "term":
         (field, v), = body.items()
@@ -166,6 +256,9 @@ class _SqlGen:
 
     def scored(self, q: dict) -> str:
         """Register CTEs; return alias selecting (conv_id, turn_idx, score)."""
+        from .plans.query_dsl import normalize_query
+
+        q = normalize_query(q)
         (kind, body), = q.items()
         a = self.fresh(kind)
         if kind == "match":
@@ -185,6 +278,29 @@ class _SqlGen:
         if kind in _PRED_KINDS:
             self.ctes.append(
                 f"\n{a} AS (SELECT conv_id, turn_idx, 1.0 AS score FROM transcripts WHERE {_pred_sql(kind, body)})"
+            )
+            return a
+        if kind in ("prefix", "wildcard", "fuzzy"):
+            # multi-term queries: constant-score rewrite => 1.0 (default
+            # rewrite method, PrefixQueryBuilder et al.)
+            (field, v), = body.items()
+            spec = v if isinstance(v, dict) else {"value": v}
+            val = spec["value"]
+            t = _toks(field)
+            if kind == "prefix":
+                cond = f"starts_with(x, {_sql_str(val)})"
+            elif kind == "wildcard":
+                pat = val.replace("*", ".*").replace("?", ".")
+                cond = f"regexp_matches(x, {_sql_str('^' + pat + '$')})"
+            else:
+                fz = int(spec.get("fuzziness", 2))
+                cond = f"levenshtein(x, {_sql_str(val)}) <= {fz}"
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 AS score FROM transcripts
+  WHERE len(list_filter({t}, x -> {cond})) > 0
+)"""
             )
             return a
         if kind == "constant_score":
@@ -208,7 +324,168 @@ class _SqlGen:
             return a
         if kind == "bool":
             return self._bool(body, a)
+        if kind == "boosting":
+            pos = self.scored(body["positive"])
+            neg = self.matched_keys(body["negative"])
+            nb = float(body.get("negative_boost", 0.5))
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT p.conv_id, p.turn_idx,
+    CASE WHEN EXISTS (SELECT 1 FROM {neg} n
+                      WHERE n.conv_id = p.conv_id AND n.turn_idx = p.turn_idx)
+         THEN p.score * {nb} ELSE p.score END AS score
+  FROM {pos} p
+)"""
+            )
+            return a
+        if kind == "match_phrase_prefix":
+            (field, spec), = body.items()
+            c, a = _match_phrase_prefix_sql(field, spec, a)
+            self.ctes.append(c)
+            return a
+        if kind == "terms_set":
+            (field, spec), = body.items()
+            c, a = _terms_set_sql(field, spec, a)
+            self.ctes.append(c)
+            return a
+        if kind == "distance_feature":
+            fld = body["field"]
+            piv = float(body["pivot"])
+            org = float(body["origin"])
+            boost = float(body.get("boost", 1.0))
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT conv_id, turn_idx,
+    {boost} * {piv} / ({piv} + abs(cast({fld} as double) - {org})) AS score
+  FROM transcripts WHERE {fld} IS NOT NULL
+)"""
+            )
+            return a
+        if kind == "function_score":
+            return self._function_score(body, a)
+        if kind == "more_like_this":
+            return self._more_like_this(body, a)
         raise ValueError(f"oracle cannot express: {kind}")
+
+    def _more_like_this(self, body: dict, a: str) -> str:
+        """Twin of plans/query_dsl._more_like_this (ids-only likes)."""
+        field = (body.get("fields") or ["text"])[0]
+        like = body["like"] if isinstance(body["like"], list) else [body["like"]]
+        ids = [x["_id"] for x in like if isinstance(x, dict)]
+        if len(ids) != len(like):
+            raise ValueError("oracle MLT supports _id likes only")
+        mqt = int(body.get("max_query_terms", 25))
+        mtf = int(body.get("min_term_freq", 2))
+        mdf = int(body.get("min_doc_freq", 5))
+        msm_raw = body.get("minimum_should_match", "30%")
+        pct = int(msm_raw[:-1]) / 100.0 if isinstance(msm_raw, str) and msm_raw.endswith("%") else None
+        ids_in = ", ".join(_sql_str(v) for v in ids)
+        t = _toks(field)
+        dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+        idf = scoring.idf_sql("n_docs", "df")
+        score = scoring.term_score_sql("tf", dl_q, "avgdl", idf)
+        idexpr = "(conv_id || '#' || cast(turn_idx as varchar))"
+        msm_sql = (
+            f"greatest(1, cast(floor({pct} * (SELECT count(*) FROM {a}_sel)) as bigint))"
+            if pct is not None
+            else str(int(msm_raw))
+        )
+        self.ctes.append(f"""
+{a}_liketf AS (
+  SELECT term, count(*) AS ltf FROM (
+    SELECT unnest({t}) AS term FROM transcripts WHERE {idexpr} IN ({ids_in})
+  ) GROUP BY term HAVING count(*) >= {mtf}
+),
+{a}_stats AS (
+  SELECT count(*) AS n_docs, sum(len({t})) * 1.0 / count(*) AS avgdl FROM transcripts
+),
+{a}_alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, unnest({t}) AS term FROM transcripts
+  ) WHERE term IN (SELECT term FROM {a}_liketf) GROUP BY term HAVING count(*) >= {mdf}
+),
+{a}_sel AS (
+  SELECT term, df FROM (
+    SELECT l.term, d.df, l.ltf * {scoring.idf_sql('n_docs', 'd.df')} AS sal
+    FROM {a}_liketf l JOIN {a}_alldf d USING (term) CROSS JOIN {a}_stats
+  ) ORDER BY sal DESC, term LIMIT {mqt}
+),
+{a}_tf AS (
+  SELECT conv_id, turn_idx, dl, term, count(*) AS tf FROM (
+    SELECT conv_id, turn_idx, len({t}) AS dl, unnest({t}) AS term FROM transcripts
+  ) WHERE term IN (SELECT term FROM {a}_sel)
+  GROUP BY conv_id, turn_idx, dl, term
+),
+{a} AS (
+  SELECT f.conv_id, f.turn_idx, sum({score}) AS score
+  FROM {a}_tf f JOIN {a}_sel USING (term) CROSS JOIN {a}_stats
+  WHERE (f.conv_id || '#' || cast(f.turn_idx as varchar)) NOT IN ({ids_in})
+  GROUP BY f.conv_id, f.turn_idx
+  HAVING count(*) >= {msm_sql}
+)""")
+        return a
+
+    def _function_score(self, body: dict, a: str) -> str:
+        inner = self.scored(body.get("query", {"match_all": {}}))
+        functions = body.get("functions", [])
+        score_mode = body.get("score_mode", "multiply")
+        boost_mode = body.get("boost_mode", "multiply")
+        if not functions:
+            self.ctes.append(f"\n{a} AS (SELECT * FROM {inner})")
+            return a
+        fexprs = []
+        for fn in functions:
+            if "weight" in fn and not ({"field_value_factor", "script_score"} & fn.keys()):
+                v = str(float(fn["weight"]))
+            elif "field_value_factor" in fn:
+                fv = fn["field_value_factor"]
+                e = f"coalesce(cast(t.{fv['field']} as double), {float(fv.get('missing', 1.0))})"
+                e = f"({e} * {float(fv.get('factor', 1.0))})"
+                mod = fv.get("modifier", "none")
+                if mod == "log1p":
+                    e = f"log10({e} + 1.0)"
+                elif mod == "sqrt":
+                    e = f"sqrt({e})"
+                v = f"({e} * {float(fn.get('weight', 1.0))})"
+            elif "script_score" in fn:
+                v = f"(({fn['script_score']['script']}) * {float(fn.get('weight', 1.0))})"
+            else:
+                raise ValueError(f"unsupported function: {list(fn)}")
+            if "filter" in fn:
+                (fk, fb), = fn["filter"].items()
+                pred = _pred_sql(fk, fb)
+                ident = "1.0" if score_mode == "multiply" else "0.0"
+                v = f"(CASE WHEN {pred} THEN {v} ELSE {ident} END)"
+            fexprs.append(v)
+        op = {"multiply": " * ", "sum": " + "}.get(score_mode)
+        if op:
+            combined = op.join(fexprs)
+        elif score_mode == "max":
+            combined = f"greatest({', '.join(fexprs)})"
+        elif score_mode == "min":
+            combined = f"least({', '.join(fexprs)})"
+        elif score_mode == "avg":
+            combined = f"(({' + '.join(fexprs)}) / {float(len(fexprs))})"
+        else:
+            raise ValueError(score_mode)
+        if boost_mode == "multiply":
+            final = f"q.score * ({combined})"
+        elif boost_mode == "sum":
+            final = f"q.score + ({combined})"
+        elif boost_mode == "replace":
+            final = f"({combined})"
+        else:
+            raise ValueError(boost_mode)
+        self.ctes.append(
+            f"""
+{a} AS (
+  SELECT q.conv_id, q.turn_idx, {final} AS score
+  FROM {inner} q JOIN transcripts t USING (conv_id, turn_idx)
+)"""
+        )
+        return a
 
     def matched_keys(self, q: dict) -> str:
         """Alias selecting distinct (conv_id, turn_idx) matching q."""
@@ -299,6 +576,88 @@ class _SqlGen:
             body_sql += " WHERE " + " AND ".join(where)
         self.ctes.append(f"\n{a} AS ({body_sql})")
         return a
+
+
+def search_after_sql(query: dict, sort_cols: list[str], after: tuple, size: int) -> str:
+    """Oracle for cursor.search_after: keyset pagination by sort tuple."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    cols = ", ".join(sort_cols)
+    vals = ", ".join(_sql_str(v) for v in after)
+    return f"""{TRANSCRIPTS_CTE},{ctes}
+SELECT conv_id, turn_idx FROM {a} JOIN transcripts USING (conv_id, turn_idx)
+WHERE ({cols}) > ({vals})
+ORDER BY {cols} LIMIT {size}"""
+
+
+def collapse_sql(query: dict, field: str, k: int, inner_hits: int) -> str:
+    """Oracle for cursor.collapse: best-hit-per-key + inner_hits expansion."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    keep = max(1, inner_hits)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+base AS (
+  SELECT x.conv_id, x.turn_idx, t.{field} AS fld, x.score
+  FROM {a} x JOIN transcripts t ON t.conv_id = x.conv_id AND t.turn_idx = x.turn_idx
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fld ORDER BY round(score, 6) DESC, conv_id, turn_idx) AS rn
+  FROM base
+),
+ih AS (
+  SELECT fld, conv_id, turn_idx, round(score, 4) AS score, rn AS hit_rank
+  FROM ranked WHERE rn <= {keep}
+),
+best AS (SELECT fld FROM ih WHERE hit_rank = 1 ORDER BY score DESC, fld LIMIT {k})
+SELECT ih.fld AS {field}, conv_id, turn_idx, score, hit_rank
+FROM ih JOIN best USING (fld)"""
+
+
+def rescore_sql(
+    query: dict,
+    rescore_query: dict,
+    window_size: int,
+    query_weight: float,
+    rescore_query_weight: float,
+    k: int,
+) -> str:
+    """Oracle for cursor.rescore: top-window second-pass re-ranking."""
+    g = _SqlGen()
+    a1 = g.scored(query)
+    a2 = g.scored(rescore_query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+win AS (
+  SELECT conv_id, turn_idx, score FROM {a1}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {window_size}
+),
+comb AS (
+  SELECT w.conv_id, w.turn_idx,
+         w.score * {query_weight} + coalesce(r.score, 0.0) * {rescore_query_weight} AS score
+  FROM win w LEFT JOIN {a2} r ON r.conv_id = w.conv_id AND r.turn_idx = w.turn_idx
+)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM comb
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}"""
+
+
+def highlight_search_sql(query: dict, terms: list[str], k: int = 10, fragment_size: int = 100) -> str:
+    """Oracle for a top-k search with a highlighted fragment per hit."""
+    from .functions.highlight import highlight_sql
+
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+hits AS (
+  SELECT conv_id, turn_idx, round(score, 4) AS score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT h.conv_id, h.turn_idx, h.score,
+       {highlight_sql('t.text', terms, fragment_size)} AS fragment
+FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx"""
 
 
 def search_sql(query: dict, k: int = 10) -> str:

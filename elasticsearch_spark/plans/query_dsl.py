@@ -59,6 +59,63 @@ class Compiled:
         return d.select(*ctx.key_cols, F.lit(float(score)).alias("score"))
 
 
+def normalize_query(q: dict) -> dict:
+    """ES-style query rewrites shared by the Spark compiler AND the oracle
+    generator (the Rewriteable fixpoint analog, index/query/Rewriteable.java):
+
+      * multi_match(best_fields)  -> dis_max of per-field match
+        (MultiMatchQuery.java: blended per-field queries under DisjunctionMax)
+      * multi_match(most_fields)  -> bool.should of per-field match (sum)
+      * match_bool_prefix         -> bool.should[match(complete terms),
+        prefix(last term)] (MatchBoolPrefixQueryBuilder: each term a should
+        clause, trailing term as prefix)
+    """
+    if not isinstance(q, dict) or len(q) != 1:
+        return q
+    (kind, body), = q.items()
+    if kind == "query_string":
+        from .query_string import parse_query_string
+
+        return normalize_query(
+            parse_query_string(body["query"], body.get("default_field", "text"))
+        )
+    if kind == "simple_query_string":
+        from .query_string import parse_simple_query_string
+
+        return normalize_query(
+            parse_simple_query_string(body["query"], body.get("default_field", "text"))
+        )
+    if kind == "multi_match":
+        fields = body["fields"]
+        mtype = body.get("type", "best_fields")
+        per_field = [{"match": {f: {"query": body["query"]}}} for f in fields]
+        if mtype == "best_fields":
+            return {
+                "dis_max": {
+                    "queries": per_field,
+                    "tie_breaker": float(body.get("tie_breaker", 0.0)),
+                }
+            }
+        if mtype == "most_fields":
+            return {"bool": {"should": per_field, "minimum_should_match": 1}}
+        raise ValueError(f"multi_match type {mtype} unsupported")
+    if kind == "match_bool_prefix":
+        (field, spec), = body.items()
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        from ..functions.analysis import analyze
+
+        terms = analyze(spec["query"])
+        if not terms:
+            return {"match_none": {}}
+        should: list[dict] = []
+        if len(terms) > 1:
+            should.append({"match": {field: {"query": " ".join(terms[:-1])}}})
+        should.append({"prefix": {field: terms[-1]}})
+        return {"bool": {"should": should, "minimum_should_match": 1}}
+    return q
+
+
 def compile_query(
     query: dict,
     docs: DataFrame,
@@ -71,7 +128,7 @@ def compile_query(
     _scored_leaf); predicate-only leaves score like their Lucene rewrites.
     """
     ctx = _Ctx(docs, key_cols, text_col)
-    return _scored_leaf(ctx, query)
+    return _scored_leaf(ctx, normalize_query(query))
 
 
 def search(
@@ -176,6 +233,7 @@ def _ids_pred(ctx: _Ctx, values: list[str]) -> Column:
 
 
 def _compile(q: dict, ctx: _Ctx) -> Compiled:
+    q = normalize_query(q)
     if len(q) != 1:
         raise ValueError(f"query object must have exactly one key, got {list(q)}")
     (kind, body), = q.items()
@@ -226,7 +284,259 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         return _dis_max(ctx, body)
     if kind == "boosting":
         return _boosting(ctx, body)
+    if kind == "match_phrase_prefix":
+        return _match_phrase_prefix(ctx, body)
+    if kind == "terms_set":
+        return _terms_set(ctx, body)
+    if kind == "distance_feature":
+        return _distance_feature(ctx, body)
+    if kind == "function_score":
+        return _function_score(ctx, body)
+    if kind == "more_like_this":
+        return _more_like_this(ctx, body)
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:
+    """more_like_this (MoreLikeThisQueryBuilder, reg SearchModule.java:814):
+    extract salient terms from the liked docs, run an OR match.
+
+    Term selection (deterministic twin of the oracle SQL):
+      candidate terms = terms of the liked docs with aggregate tf >=
+      min_term_freq and corpus df >= min_doc_freq; salience = tf * BM25-idf
+      (we reuse the engine's idf rather than Lucene's classic-similarity idf —
+      documented divergence, same ranking behavior); top max_query_terms by
+      (salience desc, term asc). minimum_should_match "30%" of selected
+      terms; liked docs are excluded from results (include=false default).
+    """
+    field = (body.get("fields") or ["text"])[0]
+    like = body["like"] if isinstance(body["like"], list) else [body["like"]]
+    mqt = int(body.get("max_query_terms", 25))
+    mtf = int(body.get("min_term_freq", 2))
+    mdf = int(body.get("min_doc_freq", 5))
+    msm_raw = body.get("minimum_should_match", "30%")
+
+    like_ids = [x["_id"] for x in like if isinstance(x, dict)]
+    like_texts = [x for x in like if isinstance(x, str)]
+    import math
+    from collections import Counter
+
+    if like_ids:
+        idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
+        rows = ctx.docs.where(idc.isin(like_ids)).select(field).collect()
+        like_texts += [r[0] for r in rows]
+    tf = Counter()
+    for t in like_texts:
+        tf.update(analysis.analyze(t))
+    cand = sorted(t for t, c in tf.items() if c >= mtf)
+    if not cand:
+        return Compiled(predicate=F.lit(False))
+    stats = M.corpus_stats(ctx.docs, ctx.key_cols, cand, field)
+    df_rows = {r.term: r.df for r in stats.term_df.collect()}
+    n_docs = stats.n_and_avgdl.first().n_docs
+    scored_terms = []
+    for t in cand:
+        df_t = df_rows.get(t, 0)
+        if df_t < mdf:
+            continue
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        scored_terms.append((-tf[t] * idf, t))
+    sel = [t for _, t in sorted(scored_terms)[:mqt]]
+    if not sel:
+        return Compiled(predicate=F.lit(False))
+    if isinstance(msm_raw, str) and msm_raw.endswith("%"):
+        need = max(1, int(len(sel) * int(msm_raw[:-1]) / 100.0))
+    else:
+        need = int(msm_raw)
+    scored = M.match_scores(
+        ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred),
+        " ".join(sel),
+        ctx.key_cols,
+        text_col=field,
+        operator="or",
+        minimum_should_match=need,
+        stats=M.corpus_stats(ctx.docs, ctx.key_cols, sel, field),
+    )
+    if like_ids:
+        idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
+        scored = scored.where(~idc.isin(like_ids))
+    return Compiled(scored=scored)
+
+
+def _match_phrase_prefix(ctx: _Ctx, body: dict) -> Compiled:
+    """match_phrase_prefix (MatchPhraseFrefixQueryBuilder, reg
+    SearchModule.java:783): phrase of the leading terms with the trailing
+    term as a position-anchored prefix.
+
+    Scoring simplification (documented divergence): idf over the complete
+    leading terms only — ES's MultiPhraseQuery blends idf over every prefix
+    expansion in the term dictionary, which depends on segment-private
+    expansion caps (max_expansions=50); our formula is expansion-independent
+    and mirrored exactly in the oracle.
+    """
+    (field, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    qterms = analysis.analyze(spec["query"])
+    if not qterms:
+        return Compiled(predicate=F.lit(False))
+    lead, pref = qterms[:-1], qterms[-1]
+    stats_terms = list(set(lead)) or [pref]
+    stats = M.corpus_stats(ctx.docs, ctx.key_cols, stats_terms, field)
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
+    toks = toks.select(*ctx.key_cols, F.size("toks").alias("dl"), "toks")
+    m = len(qterms)
+    pos_ok = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - m),
+        lambda p: reduce(
+            lambda a, b: a & b,
+            [F.element_at("toks", (p + i + 1).cast("int")) == F.lit(t) for i, t in enumerate(lead)]
+            + [F.element_at("toks", (p + m).cast("int")).startswith(pref)],
+        ),
+    )
+    pf = toks.select(*ctx.key_cols, "dl", F.size(pos_ok).alias("pf")).where(
+        (F.col("pf") > 0) & (F.size("toks") >= m)
+    )
+    if lead:
+        idf_sum = stats.term_df.crossJoin(F.broadcast(stats.n_and_avgdl)).agg(
+            F.sum(F.expr(scoring.idf_sql("n_docs", "df"))).alias("idf"),
+            F.first("avgdl").alias("avgdl"),
+        )
+    else:
+        idf_sum = stats.n_and_avgdl.select(F.lit(1.0).alias("idf"), F.col("avgdl"))
+    dl_q = F.expr(scoring.quantized_dl_sql("dl", "spark"))
+    norm = F.lit(scoring.K1) * (
+        F.lit(1.0 - scoring.B) + F.lit(scoring.B) * dl_q.cast("double") / F.col("avgdl")
+    )
+    scored = pf.crossJoin(F.broadcast(idf_sum)).select(
+        *ctx.key_cols,
+        (F.col("idf") * F.lit(scoring.K1 + 1.0) * F.col("pf") / (F.col("pf") + norm)).alias("score"),
+    )
+    return Compiled(scored=scored)
+
+
+def _terms_set(ctx: _Ctx, body: dict) -> Compiled:
+    """terms_set (TermsSetQueryBuilder, reg SearchModule.java:834): match
+    docs containing >= msm of the given terms, msm driven per-doc by a field
+    (minimum_should_match_field) or SQL expression (the script analog);
+    score = sum of matched-term BM25 like a bool.should of term queries."""
+    (field, spec), = body.items()
+    terms = [t.lower() for t in spec["terms"]]
+    msm_expr = spec.get("minimum_should_match_field") or spec.get(
+        "minimum_should_match_script"
+    )
+    stats = M.corpus_stats(ctx.docs, ctx.key_cols, list(set(terms)), field)
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    scored = M.match_scores(
+        cand,
+        " ".join(terms),
+        ctx.key_cols,
+        text_col=field,
+        operator="or",
+        minimum_should_match=None,
+        stats=stats,
+        keep_n_matched=True,
+    )
+    msm_vals = ctx.docs.select(*ctx.key_cols, F.expr(msm_expr).alias("_msm"))
+    out = (
+        scored.join(msm_vals, ctx.key_cols)
+        .where(F.col("n_matched") >= F.col("_msm"))
+        .select(*ctx.key_cols, "score")
+    )
+    return Compiled(scored=out)
+
+
+def _distance_feature(ctx: _Ctx, body: dict) -> Compiled:
+    """distance_feature (DistanceFeatureQueryBuilder, reg :836):
+    score = boost * pivot / (pivot + |value - origin|)."""
+    field = body["field"]
+    origin = body["origin"]
+    pivot = float(body["pivot"])
+    boost = float(body.get("boost", 1.0))
+    c = F.col(field).cast("double")
+    dist = F.abs(c - F.lit(float(origin)))
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    scored = cand.where(F.col(field).isNotNull()).select(
+        *ctx.key_cols,
+        (F.lit(boost) * F.lit(pivot) / (F.lit(pivot) + dist)).alias("score"),
+    )
+    return Compiled(scored=scored)
+
+
+def _function_score(ctx: _Ctx, body: dict) -> Compiled:
+    """function_score (functionscore/FunctionScoreQueryBuilder, score
+    functions reg SearchModule.java:661-683): weight / field_value_factor /
+    script_score functions with optional per-function filters;
+    score_mode combines function values, boost_mode folds into query score."""
+    inner = _scored_leaf(ctx, body.get("query", {"match_all": {}}))
+    functions = body.get("functions", [])
+    score_mode = body.get("score_mode", "multiply")
+    boost_mode = body.get("boost_mode", "multiply")
+
+    fcols = []
+    fsrc = ctx.docs
+    for i, fn in enumerate(functions):
+        if "weight" in fn and not ({"field_value_factor", "script_score"} & fn.keys()):
+            val = F.lit(float(fn["weight"]))
+        elif "field_value_factor" in fn:
+            fv = fn["field_value_factor"]
+            v = F.coalesce(F.col(fv["field"]).cast("double"), F.lit(float(fv.get("missing", 1.0))))
+            v = v * F.lit(float(fv.get("factor", 1.0)))
+            mod = fv.get("modifier", "none")
+            if mod == "log1p":
+                v = F.log10(v + 1.0)  # ES log1p is log10(v+1)
+            elif mod == "sqrt":
+                v = F.sqrt(v)
+            elif mod != "none":
+                raise ValueError(f"modifier {mod} unsupported")
+            val = v * F.lit(float(fn.get("weight", 1.0)))
+        elif "script_score" in fn:
+            val = F.expr(fn["script_score"]["script"]) * F.lit(float(fn.get("weight", 1.0)))
+        else:
+            raise ValueError(f"unsupported function: {list(fn)}")
+        if "filter" in fn:
+            c = _compile(fn["filter"], ctx)
+            if c.predicate is None:
+                raise ValueError("function filters must be predicate-expressible")
+            # non-matching docs contribute the score_mode identity
+            ident = 1.0 if score_mode in ("multiply",) else 0.0
+            val = F.when(c.predicate, val).otherwise(F.lit(ident))
+        fcols.append(val.alias(f"_f{i}"))
+
+    if not functions:
+        return Compiled(scored=inner)
+    vals = fsrc.select(*ctx.key_cols, *fcols)
+    combined = None
+    for i in range(len(functions)):
+        c = F.col(f"_f{i}")
+        if combined is None:
+            combined = c
+        elif score_mode == "multiply":
+            combined = combined * c
+        elif score_mode == "sum":
+            combined = combined + c
+        elif score_mode == "max":
+            combined = F.greatest(combined, c)
+        elif score_mode == "min":
+            combined = F.least(combined, c)
+        elif score_mode == "avg":
+            combined = combined + c  # divided below
+        else:
+            raise ValueError(score_mode)
+    if score_mode == "avg":
+        combined = combined / F.lit(float(len(functions)))
+    vals = vals.select(*ctx.key_cols, combined.alias("_fs"))
+    j = inner.join(vals, ctx.key_cols)
+    if boost_mode == "multiply":
+        out_score = F.col("score") * F.col("_fs")
+    elif boost_mode == "sum":
+        out_score = F.col("score") + F.col("_fs")
+    elif boost_mode == "replace":
+        out_score = F.col("_fs")
+    else:
+        raise ValueError(boost_mode)
+    return Compiled(scored=j.select(*ctx.key_cols, out_score.alias("score")))
 
 
 # ------------------------------------------------------------------ compounds

@@ -52,6 +52,97 @@ SEARCH_QUERIES: dict[str, dict] = {
     },
     "constant_score_topk": {"constant_score": {"filter": {"term": {"role": "tool"}}, "boost": 2.5}},
     "ids_lookup": {"ids": {"values": ["conv_000003#4", "conv_000007#11", "conv_000011#0"]}},
+    "multi_match_best": {
+        "multi_match": {
+            "query": "search code fast",
+            "fields": ["text", "tool"],
+            "type": "best_fields",
+            "tie_breaker": 0.3,
+        }
+    },
+    "multi_match_most": {
+        "multi_match": {
+            "query": "search code fast",
+            "fields": ["text", "tool"],
+            "type": "most_fields",
+        }
+    },
+    "match_bool_prefix_topk": {"match_bool_prefix": {"text": "query fas"}},
+    "match_phrase_prefix_topk": {"match_phrase_prefix": {"text": "table ha"}},
+    "terms_set_msm": {
+        "terms_set": {
+            "text": {
+                "terms": ["spark", "query", "fast", "join"],
+                "minimum_should_match_script": "least(turn_idx, 3)",
+            }
+        }
+    },
+    "distance_feature_topk": {
+        "distance_feature": {"field": "turn_idx", "origin": 10, "pivot": 5, "boost": 2.0}
+    },
+    "function_score_topk": {
+        "function_score": {
+            "query": {"match": {"text": "query"}},
+            "functions": [
+                {
+                    "field_value_factor": {
+                        "field": "turn_idx",
+                        "factor": 0.5,
+                        "modifier": "log1p",
+                        "missing": 1,
+                    }
+                },
+                {"filter": {"term": {"role": "user"}}, "weight": 2.0},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "multiply",
+        }
+    },
+    "more_like_this_topk": {
+        "more_like_this": {
+            "fields": ["text"],
+            "like": [{"_id": "conv_000024#13"}, {"_id": "conv_000024#16"}],
+            "max_query_terms": 10,
+            "min_term_freq": 2,
+            "min_doc_freq": 2,
+            "minimum_should_match": "30%",
+        }
+    },
+    "query_string_mix": {
+        "query_string": {"query": "+query (fast OR slow) -tool:code"}
+    },
+    "query_string_phrase_wild": {
+        "query_string": {"query": '"table hash" OR fas*'}
+    },
+    "boosting_demote": {
+        "boosting": {
+            "positive": {"match": {"text": "query fast"}},
+            "negative": {"term": {"role": "tool"}},
+            "negative_boost": 0.4,
+        }
+    },
+}
+
+# cursoring fixtures (operators/cursor.py): (sort_cols, after, size) etc.
+SEARCH_AFTER_FIXTURE = {
+    "query": {"match": {"text": "query"}},
+    "sort_cols": ["turn_idx", "conv_id"],
+    "after": (5, "conv_000010"),
+    "size": 10,
+}
+COLLAPSE_FIXTURE = {
+    "query": {"match": {"text": "query fast"}},
+    "field": "role",
+    "k": 3,
+    "inner_hits": 2,
+}
+RESCORE_FIXTURE = {
+    "query": {"match": {"text": "table"}},
+    "rescore_query": {"match_phrase": {"text": "table hash"}},
+    "window_size": 20,
+    "query_weight": 1.0,
+    "rescore_query_weight": 2.0,
+    "k": 10,
 }
 
 DEFAULT_K = 10

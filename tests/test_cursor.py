@@ -1,0 +1,117 @@
+"""Cursoring operators vs oracle + scroll snapshot-pinning semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark import oracle
+from elasticsearch_spark.operators import cursor, index_build, update
+from elasticsearch_spark.queryset import (
+    COLLAPSE_FIXTURE,
+    RESCORE_FIXTURE,
+    SEARCH_AFTER_FIXTURE,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _duck(con, sql, cols):
+    df = con.execute(sql).df()
+    return sorted(tuple(str(x) for x in r) for r in df[sorted(cols)].itertuples(index=False))
+
+
+def test_search_after_oracle(spark, transcripts, duck):
+    f = SEARCH_AFTER_FIXTURE
+    got = cursor.search_after(
+        transcripts, f["query"], KEYS, f["sort_cols"], f["after"], f["size"]
+    )
+    sql = oracle.search_after_sql(f["query"], f["sort_cols"], f["after"], f["size"])
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    assert got.count() > 0
+
+
+def test_search_after_pages_are_disjoint_and_ordered(spark, transcripts):
+    f = SEARCH_AFTER_FIXTURE
+    p1 = cursor.search_after(transcripts, f["query"], KEYS, f["sort_cols"], None, 10).collect()
+    last = (p1[-1].turn_idx, p1[-1].conv_id)
+    p2 = cursor.search_after(transcripts, f["query"], KEYS, f["sort_cols"], last, 10).collect()
+    k1 = {(r.conv_id, r.turn_idx) for r in p1}
+    k2 = {(r.conv_id, r.turn_idx) for r in p2}
+    assert not (k1 & k2)
+    assert all((r.turn_idx, r.conv_id) > last for r in p2)
+
+
+def test_collapse_oracle(spark, transcripts, duck):
+    f = COLLAPSE_FIXTURE
+    got = cursor.collapse(transcripts, f["query"], KEYS, f["field"], f["k"], f["inner_hits"])
+    sql = oracle.collapse_sql(f["query"], f["field"], f["k"], f["inner_hits"])
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    rows = got.collect()
+    assert rows and max(r.hit_rank for r in rows) <= 2
+
+
+def test_rescore_oracle(spark, transcripts, duck):
+    f = RESCORE_FIXTURE
+    got = cursor.rescore(
+        transcripts, f["query"], f["rescore_query"], KEYS,
+        f["window_size"], f["query_weight"], f["rescore_query_weight"], f["k"],
+    )
+    sql = oracle.rescore_sql(
+        f["query"], f["rescore_query"], f["window_size"],
+        f["query_weight"], f["rescore_query_weight"], f["k"],
+    )
+    assert _rows(got) == _duck(duck, sql, got.columns)
+
+
+def test_from_size(spark, transcripts):
+    from elasticsearch_spark.plans import query_dsl as Q
+
+    base = Q.search(transcripts, {"match": {"text": "query"}}, KEYS, k=30)
+    page = cursor.from_size(base, from_=10, size=10).collect()
+    allr = base.collect()
+    assert [tuple(r) for r in page] == [tuple(r) for r in allr[10:20]]
+
+
+def test_scroll_pinned_snapshot(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scroll_idx"))
+    store = index_build.build_index(spark, transcripts, root, n_slices=2, partitions=4)
+    sc = cursor.Scroll(spark, store, size=100)
+    seen = []
+    while True:
+        page = sc.next_page()
+        if not page:
+            break
+        seen.extend((r.conv_id, r.turn_idx) for r in page)
+        if len(seen) == 100:
+            # concurrent writer must not disturb the pinned reader
+            upd = transcripts.select(*KEYS).limit(3).withColumn("tool", F.lit("concurrent"))
+            update.apply_updates(spark, store, upd, partitions=4)
+    want = [(r.conv_id, r.turn_idx) for r in transcripts.select(*KEYS).collect()]
+    assert sorted(seen) == sorted(want)
+    assert len(seen) == len(set(seen))
+
+
+def test_sliced_scroll_partitions(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("slice_idx"))
+    store = index_build.build_index(spark, transcripts, root, n_slices=1, partitions=4)
+    all_keys = set()
+    for s in range(3):
+        sc = cursor.Scroll(spark, store, size=1000, n_slices=3, slice_id=s)
+        page = sc.next_page()
+        keys = {(r.conv_id, r.turn_idx) for r in page}
+        assert not (keys & all_keys)  # slices are disjoint
+        all_keys |= keys
+    assert len(all_keys) == transcripts.count()  # and exhaustive
