@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from elasticsearch_spark import aggset, oracle, pipeset  # noqa: E402
+from elasticsearch_spark import aggset, miscset, oracle, pipeset  # noqa: E402
 from elasticsearch_spark.plans import query_dsl as Q  # noqa: E402
 from elasticsearch_spark.operators import cursor  # noqa: E402
 from elasticsearch_spark.queryset import (  # noqa: E402
@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["highlight_match"] = _highlight
+    out.update(miscset.MISC_QUERY_FNS)
     return out
 
 
@@ -157,4 +158,5 @@ def oracle_sql() -> dict[str, str]:
     out["highlight_match"] = oracle.highlight_search_sql(
         hq, _an.analyze(hq["match"]["text"]), DEFAULT_K
     )
+    out.update(miscset.MISC_ORACLE_SQL)
     return out

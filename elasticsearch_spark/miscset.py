@@ -1,0 +1,118 @@
+"""Ingest-pipeline / suggester / _analyze fixtures + DuckDB oracle twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import analysis
+from .operators import ingest, suggest
+from .oracle import TRANSCRIPTS_CTE
+from .sources import transcripts as TR
+
+_TOKS = analysis.tokens_sql("text", "duckdb")
+
+INGEST_PIPELINE = [
+    {"set": {"field": "source_tag", "value": "ingest"}},
+    {"lowercase": {"field": "role", "target_field": "role_lc"}},
+    {"uppercase": {"field": "tool", "target_field": "tool_uc"}},
+    {"gsub": {"field": "text", "target_field": "text_nodigit", "pattern": "[0-9]+", "replacement": "#"}},
+    {"convert": {"field": "turn_idx", "type": "string", "target_field": "turn_str"}},
+    {"set": {"field": "sz", "value": "concat(cast(turn_idx + 1 as string), 'kb')", "expr": True}},
+    {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+    {"split": {"field": "text", "target_field": "words", "separator": " "}},
+    {"join": {"field": "words", "target_field": "text_rejoined", "separator": "|"}},
+    {"drop": {"if": "role = 'system'"}},
+]
+
+_INGEST_ORACLE = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, 'ingest' AS source_tag, lower(role) AS role_lc,
+       upper(tool) AS tool_uc,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS text_nodigit,
+       cast(turn_idx AS varchar) AS turn_str,
+       cast((turn_idx + 1) * 1024 AS bigint) AS sz_bytes,
+       array_to_string(string_split(text, ' '), '|') AS text_rejoined
+FROM transcripts WHERE role <> 'system'"""
+
+
+def fx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    out = ingest.run_pipeline(docs, INGEST_PIPELINE)
+    return out.select(
+        "conv_id", "turn_idx", "source_tag", "role_lc", "tool_uc",
+        "text_nodigit", "turn_str", "sz_bytes", "text_rejoined",
+    )
+
+
+SUGGEST_TEXT = "sparc quer tabel"
+
+_SUGGEST_ORACLE = f"""{TRANSCRIPTS_CTE},
+td AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, unnest(list_distinct({_TOKS})) AS term
+    FROM transcripts
+  ) GROUP BY term
+),
+inputs AS (SELECT unnest(['sparc', 'quer', 'tabel']) AS input),
+cand AS (
+  SELECT input, term, df, levenshtein(term, input) AS distance
+  FROM td CROSS JOIN inputs
+  WHERE abs(length(term) - length(input)) <= 2 AND levenshtein(term, input) <= 2
+)
+SELECT input, term AS suggestion, distance, df FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY distance, df DESC, term) AS rn
+  FROM cand
+) WHERE rn <= 5"""
+
+
+def fx_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return suggest.term_suggest(docs, SUGGEST_TEXT, max_edits=2, size=5)
+
+
+_COMPLETION_ORACLE = f"""{TRANSCRIPTS_CTE},
+td AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, unnest(list_distinct({_TOKS})) AS term
+    FROM transcripts
+  ) GROUP BY term
+)
+SELECT term AS suggestion, df AS weight FROM td
+WHERE starts_with(term, 'qu') ORDER BY df DESC, term LIMIT 5"""
+
+
+def fx_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    entries = suggest.term_dictionary(docs).select(
+        F.col("term").alias("input"), F.col("df").alias("weight")
+    )
+    return suggest.completion_suggest(entries, "qu", size=5)
+
+
+_ANALYZE_ORACLE = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower('Hello, Spark-Graft 42!'), '[\\pL\\pN]+') AS l
+)
+SELECT unnest(l) AS token,
+       cast(generate_subscripts(l, 1) - 1 AS int) AS position
+FROM toks"""
+
+
+def fx_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suggest.analyze_api(spark, "Hello, Spark-Graft 42!")
+
+
+MISC_QUERY_FNS = {
+    "ingest_pipeline": fx_ingest,
+    "suggest_term": fx_term_suggest,
+    "suggest_completion": fx_completion_suggest,
+    "analyze_tokens": fx_analyze,
+}
+
+MISC_ORACLE_SQL = {
+    "ingest_pipeline": _INGEST_ORACLE,
+    "suggest_term": _SUGGEST_ORACLE,
+    "suggest_completion": _COMPLETION_ORACLE,
+    "analyze_tokens": _ANALYZE_ORACLE,
+}
