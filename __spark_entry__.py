@@ -35,6 +35,7 @@ KEYS = ["conv_id", "turn_idx"]
 # (postings + block-max kernel); both must match the same oracle SQL.
 INDEXED_QUERY_NAMES = [
     "match_or_topk",
+    "match_phrase_topk",
     "match_and_topk",
     "match_msm_topk",
     "bool_must_filter",

@@ -51,6 +51,10 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("docs", T.BinaryType()),  # delta+varbyte ordinals
         T.StructField("tfs", T.BinaryType()),  # varbyte tfs
         T.StructField("norms", T.BinaryType()),  # byte4 norm per posting
+        # token positions (DOCS_AND_FREQS_AND_POSITIONS, TextFieldMapper.java:341):
+        # per posting, tf positions delta+varbyte encoded; postings concatenated
+        # in block order — the tf stream gives the split offsets
+        T.StructField("poss", T.BinaryType()),
     ]
 )
 
@@ -143,6 +147,7 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
 
     ords = pdf["ordinal"].to_numpy(dtype=np.int64)
     norms = pdf["norm"].to_numpy().astype(np.uint8)
+    poss = pdf["pos"].to_numpy(dtype=np.int64)
     decode_tbl = np.array([scoring.byte4_to_int(b) for b in range(256)], dtype=np.int64)
 
     # collapse duplicate (term, bk, ordinal) occurrences into postings with tf
@@ -163,10 +168,19 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
     deltas[g_starts] = p_ords[g_starts]
     docs_buf, docs_nb = codec.varbyte_encode_sized(deltas.astype(np.uint64))
     tfs_buf, tfs_nb = codec.varbyte_encode_sized(tfs.astype(np.uint64))
+    # positions: delta within each posting (input sorted by pos inside each
+    # (term, bk, ordinal) run; posting heads keep their absolute position)
+    pos_deltas = np.diff(poss, prepend=np.int64(0))
+    pos_deltas[post_starts] = poss[post_starts]
+    poss_buf, poss_nb = codec.varbyte_encode_sized(pos_deltas.astype(np.uint64))
     docs_off = np.concatenate([[0], np.cumsum(docs_nb)])
     tfs_off = np.concatenate([[0], np.cumsum(tfs_nb)])
+    poss_off = np.concatenate([[0], np.cumsum(poss_nb)])
     docs_all, tfs_all = docs_buf.tobytes(), tfs_buf.tobytes()
+    poss_all = poss_buf.tobytes()
     norms_all = p_norms.tobytes()
+    # positions byte-range per block spans occurrence rows [starts, ends)
+    ends_occ = np.append(starts[1:], len(pdf))
 
     out = pd.DataFrame(
         {
@@ -178,6 +192,7 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
             "docs": [docs_all[docs_off[s] : docs_off[e]] for s, e in zip(g_starts, g_ends)],
             "tfs": [tfs_all[tfs_off[s] : tfs_off[e]] for s, e in zip(g_starts, g_ends)],
             "norms": [norms_all[s:e] for s, e in zip(g_starts, g_ends)],
+            "poss": [poss_all[poss_off[s] : poss_off[e]] for s, e in zip(starts, ends_occ)],
         }
     )
     return out, remainder
@@ -238,13 +253,15 @@ def build_segment(
     # df = all docs spreads over n_docs/BLOCK_RANGE keys (north_rule's
     # salted-key skew handling), and block-max metadata stays exact.
     occ = (
-        docs.select("ordinal", "norm", F.explode(analysis.tokens("text")).alias("term"))
+        docs.select(
+            "ordinal", "norm", F.posexplode(analysis.tokens("text")).alias("pos", "term")
+        )
         .withColumn("bk", (F.col("ordinal") / BLOCK_RANGE).cast("int"))
     )
     p = partitions or spark.sparkContext.defaultParallelism
     postings = (
         occ.repartition(p, "term", "bk")
-        .sortWithinPartitions("term", "bk", "ordinal")
+        .sortWithinPartitions("term", "bk", "ordinal", "pos")
         .mapInPandas(_encode_partition, schema=POSTINGS_SCHEMA)
     )
     # write straight from the encode pass: files are (term, bk)-sorted within

@@ -47,12 +47,23 @@ class TermGroup:
 
 
 @dataclass
+class PhraseGroup:
+    """Exact-adjacency phrase (match_phrase slop=0): doc must contain the
+    terms at consecutive positions; scores idf_sum * BM25-saturated phrase
+    freq (the logical path's formula, plans/query_dsl._match_phrase)."""
+
+    terms: list[str]
+    weight: float = 0.0  # idf sum over distinct terms
+
+
+@dataclass
 class KernelSpec:
     groups: list[TermGroup]
     weights: dict[str, float]  # term -> idf
     avgdl: float
     k: int
     score_filtered_zero: bool = False  # bool-with-only-filters semantics
+    phrases: list[PhraseGroup] = None  # positions-verified clauses
 
     @property
     def all_terms(self) -> list[str]:
@@ -114,6 +125,8 @@ def _make_kernel(spec: KernelSpec):
     n_groups = len(spec.groups)
     avgdl, k = spec.avgdl, spec.k
     kp1 = k1 + 1.0
+    phrases = spec.phrases or []
+    phrase_terms = sorted({t for p in phrases for t in p.terms})
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         from elasticsearch_spark.functions.codec import delta_decode, varbyte_decode
@@ -160,20 +173,37 @@ def _make_kernel(spec: KernelSpec):
             by_bk.setdefault(int(bkv), []).append(i)
 
         for oi in order:
-            if n_kept >= k and bk_ub[oi] < theta:
+            if not phrases and n_kept >= k and bk_ub[oi] < theta:
                 break  # block-max prune: no remaining block can enter top-k
+                # (disabled under phrase clauses: phrase freq has no block
+                # bound in the metadata, so every block must be verified)
             rows = by_bk[int(uniq_bks[oi])]
             ords_l, score_l, gid_l = [], [], []
+            pos_map: dict[str, dict] = {t: {} for t in phrase_terms}
             for ri in rows:
                 r = left.iloc[ri]
                 ords = delta_decode(r["docs"])
-                tfs = varbyte_decode(r["tfs"]).astype(np.float64)
+                tfs_i = varbyte_decode(r["tfs"]).astype(np.int64)
+                tfs = tfs_i.astype(np.float64)
                 dlq = decode_tbl[np.frombuffer(r["norms"], dtype=np.uint8)]
                 tfn = kp1 * tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
                 for gi, w in term_entries.get(r["term"], []):
                     ords_l.append(ords)
                     score_l.append(w * tfn)
                     gid_l.append(np.full(len(ords), gi, dtype=np.int64))
+                if r["term"] in pos_map:
+                    # reconstruct per-posting absolute positions from the
+                    # concatenated delta stream (posting heads are absolute)
+                    d = varbyte_decode(r["poss"]).astype(np.int64)
+                    cs = np.cumsum(d)
+                    starts_p = np.concatenate([[0], np.cumsum(tfs_i)[:-1]])
+                    base = np.concatenate([[0], cs[np.cumsum(tfs_i)[:-1] - 1]]) if len(tfs_i) > 1 else np.array([0])
+                    offs = np.repeat(base, tfs_i)
+                    pos_abs = cs - offs
+                    m = pos_map[r["term"]]
+                    for pi, o in enumerate(ords):
+                        sl = slice(starts_p[pi], starts_p[pi] + tfs_i[pi])
+                        m[int(o)] = (pos_abs[sl], float(dlq[pi]))
             if not ords_l:
                 continue
             o = np.concatenate(ords_l)
@@ -201,6 +231,32 @@ def _make_kernel(spec: KernelSpec):
             docs_u, score_u = docs_u[ok], score_u[ok]
             if not len(docs_u):
                 continue
+            if phrases:
+                keep = np.ones(len(docs_u), dtype=bool)
+                for ph in phrases:
+                    for di, doc in enumerate(docs_u):
+                        if not keep[di]:
+                            continue
+                        entry = pos_map.get(ph.terms[0], {}).get(int(doc))
+                        if entry is None:
+                            keep[di] = False
+                            continue
+                        cand, dlq_d = entry
+                        for i, t in enumerate(ph.terms[1:], start=1):
+                            nxt = pos_map.get(t, {}).get(int(doc))
+                            if nxt is None:
+                                cand = cand[:0]
+                                break
+                            cand = cand[np.isin(cand + i, nxt[0])]
+                        pf = len(cand)
+                        if pf == 0:
+                            keep[di] = False
+                        else:
+                            norm_d = k1 * (1.0 - b + b * dlq_d / avgdl)
+                            score_u[di] += ph.weight * kp1 * pf / (pf + norm_d)
+                docs_u, score_u = docs_u[keep], score_u[keep]
+                if not len(docs_u):
+                    continue
             cand_ord.append(docs_u)
             cand_score.append(score_u)
             n_kept += len(docs_u)
@@ -242,16 +298,33 @@ def run_kernel(
 
 @dataclass
 class IndexedQuery:
-    """match / limited-bool query lowered onto the index."""
+    """match / match_phrase / limited-bool query lowered onto the index."""
 
     groups: list[TermGroup] = field(default_factory=list)
     filter_pred: str | None = None  # SQL over docs columns -> allow set
     score_zero: bool = False
+    phrases: list[list[str]] = field(default_factory=list)
+
+
+def _phrase_terms(body) -> list[str]:
+    (field_, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    if field_ != "text":
+        raise ValueError("indexed path indexes the text field")
+    return analysis.analyze(spec["query"])
 
 
 def lower_query(query: dict) -> IndexedQuery:
-    """Lower a match / bool-of-match+predicate query dict to an IndexedQuery."""
+    """Lower a match / match_phrase / bool query dict to an IndexedQuery."""
     (kind, body), = query.items()
+    if kind == "match_phrase":
+        qterms = _phrase_terms(body)
+        distinct = sorted(set(qterms))
+        return IndexedQuery(
+            groups=[TermGroup(terms=distinct, need=len(distinct), weighted=False)],
+            phrases=[qterms],
+        )
     if kind == "match":
         (field_, spec), = body.items()
         if isinstance(spec, str):
@@ -302,9 +375,16 @@ def lower_query(query: dict) -> IndexedQuery:
             return [] if x is None else (x if isinstance(x, list) else [x])
 
         for q in as_list(body.get("must")):
-            if next(iter(q)) != "match":
-                raise ValueError("indexed-bool must clauses must be match queries")
-            iq.groups.append(match_group(q))
+            mk = next(iter(q))
+            if mk == "match_phrase":
+                qterms = _phrase_terms(q["match_phrase"])
+                distinct = sorted(set(qterms))
+                iq.groups.append(TermGroup(terms=distinct, need=len(distinct), weighted=False))
+                iq.phrases.append(qterms)
+            elif mk == "match":
+                iq.groups.append(match_group(q))
+            else:
+                raise ValueError("indexed-bool must clauses must be match/match_phrase")
         for q in as_list(body.get("filter")):
             preds.append(pred_sql(q))
         for q in as_list(body.get("must_not")):
@@ -352,7 +432,7 @@ def search_indexed(
     if snap is None or not snap.segments:
         raise ValueError("empty index")
     iq = lower_query(query)
-    terms = sorted({t for g in iq.groups for t in g.terms})
+    terms = sorted({t for g in iq.groups for t in g.terms} | {t for p in iq.phrases for t in p})
 
     n_docs, sum_dl = snap.n_docs, snap.sum_dl
     avgdl = sum_dl / n_docs if n_docs else 1.0
@@ -407,7 +487,16 @@ def search_indexed(
     else:
         extras = spark.createDataFrame([], "segment string, ordinal long, kind string")
 
-    spec = KernelSpec(groups=live_groups, weights=weights, avgdl=avgdl, k=k)
+    phrase_groups = []
+    for pterms in iq.phrases:
+        if any(t not in dfs for t in pterms):
+            # a phrase term absent from the corpus: phrase can never match
+            return docs.select("conv_id", "turn_idx", F.lit(0.0).alias("score")).where(F.lit(False))
+        w = sum(weights[t] for t in sorted(set(pterms)))
+        phrase_groups.append(PhraseGroup(terms=pterms, weight=w))
+    spec = KernelSpec(
+        groups=live_groups, weights=weights, avgdl=avgdl, k=k, phrases=phrase_groups
+    )
     local = run_kernel(postings, extras, spec)
     out = (
         local.join(docs.select("segment", "ordinal", "conv_id", "turn_idx"), ["segment", "ordinal"])

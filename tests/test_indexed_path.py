@@ -41,6 +41,16 @@ INDEXED_QUERIES = [
             "must_not": [{"match": {"text": "vector"}}],
         }
     },
+    {"match_phrase": {"text": "table hash"}},
+    {
+        "bool": {
+            "must": [
+                {"match_phrase": {"text": "key value"}},
+                {"match": {"text": "query"}},
+            ],
+            "filter": [{"term": {"role": "user"}}],
+        }
+    },
 ]
 
 
