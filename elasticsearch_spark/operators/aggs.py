@@ -364,6 +364,32 @@ def _top_hits(docs: DataFrame, b: dict, group_cols: list[Column], group_names: l
     return out
 
 
+def sampler(scored: DataFrame, shard_size: int = 100, score_col: str = "score") -> DataFrame:
+    """sampler agg (reg SearchModule.java:403): run sub-aggs over only the
+    top `shard_size` docs by relevance — in Spark, one exact global top-N
+    (ES's version is per-shard; exact-N is the stronger contract)."""
+    return scored.orderBy(F.col(score_col).desc()).limit(shard_size)
+
+
+def diversified_sampler(
+    scored: DataFrame,
+    field: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    score_col: str = "score",
+) -> DataFrame:
+    """diversified_sampler (reg :407): like sampler but at most
+    max_docs_per_value docs per distinct `field` value — a ranked window cap."""
+    w = Window.partitionBy(field).orderBy(F.col(score_col).desc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_docs_per_value)
+        .drop("_rn")
+        .orderBy(F.col(score_col).desc())
+        .limit(shard_size)
+    )
+
+
 def significant_terms(
     docs_fg: DataFrame, docs_bg: DataFrame, field: str, size: int = 10
 ) -> DataFrame:

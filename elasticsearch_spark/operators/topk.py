@@ -498,13 +498,61 @@ def search_indexed(
         groups=live_groups, weights=weights, avgdl=avgdl, k=k, phrases=phrase_groups
     )
     local = run_kernel(postings, extras, spec)
+    # FETCH PHASE (SearchPhaseController analog): the kernels return at most
+    # buckets*k winners — collect that tiny set to the coordinator and
+    # re-read ONLY their rows from the docs tables with an ordinal IN-filter
+    # per segment. Parquet pushes In(ordinal) into row-group pruning (docs
+    # files are ordinal-sorted), so fetch cost is O(k) point reads, not a
+    # full docs scan joined against k rows.
+    winners = local.collect()
+    if not winners:
+        return docs.select("conv_id", "turn_idx", F.lit(0.0).alias("score")).where(F.lit(False))
+    by_seg: dict[str, dict[int, float]] = {}
+    for r in winners:
+        by_seg.setdefault(r.segment, {})[int(r.ordinal)] = float(r.score)
+    parts = []
+    for seg, ordmap in by_seg.items():
+        d = (
+            spark.read.parquet(store.docs_path(seg))
+            .where(F.col("ordinal").isin(list(ordmap)))
+            .select("ordinal", "conv_id", "turn_idx")
+            .withColumn("segment", F.lit(seg))
+        )
+        parts.append(d)
+    fetched = parts[0]
+    for p in parts[1:]:
+        fetched = fetched.unionByName(p)
+    score_rows = [(seg, o, s) for seg, m in by_seg.items() for o, s in m.items()]
+    scores = F.broadcast(
+        spark.createDataFrame(score_rows, "segment string, ordinal long, score double")
+    )
     out = (
-        local.join(docs.select("segment", "ordinal", "conv_id", "turn_idx"), ["segment", "ordinal"])
+        fetched.join(scores, ["segment", "ordinal"])
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("conv_id").asc(), F.col("turn_idx").asc())
         .limit(k)
         .select("conv_id", "turn_idx", F.round(F.col("score"), 4).alias("score"))
     )
     return out
+
+
+def multi_store_search(
+    spark: SparkSession,
+    stores: list[SegmentStore],
+    query: dict,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-index search (TransportSearchAction.java:464 resolving several
+    indices == UNION ALL of tables): each store answers with its OWN corpus
+    stats — exactly ES's per-index idf under default query_then_fetch — and
+    the coordinator merges the per-index top-k by (score, key)."""
+    parts = [search_indexed(spark, s, query, k=k) for s in stores]
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    return (
+        uni.orderBy(F.round(F.col("score"), 6).desc(), F.col("conv_id").asc(), F.col("turn_idx").asc())
+        .limit(k)
+    )
 
 
 def _deletes_df(spark: SparkSession, store: SegmentStore, snap: Snapshot) -> DataFrame | None:
