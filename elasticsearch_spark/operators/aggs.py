@@ -364,6 +364,43 @@ def _top_hits(docs: DataFrame, b: dict, group_cols: list[Column], group_names: l
     return out
 
 
+def adjacency_matrix(docs: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """adjacency_matrix agg (reg SearchModule.java:399): doc_count for every
+    named filter and every pairwise intersection (key 'a&b', names sorted)."""
+    names = sorted(filters)
+    tags = F.filter(
+        F.array(*[F.when(F.expr(filters[n]), F.lit(n)) for n in names]),
+        lambda x: x.isNotNull(),
+    )
+    tagged = docs.select(tags.alias("_tags"))
+    singles = tagged.select(F.explode("_tags").alias("key"))
+    a = tagged.select("_tags", F.explode("_tags").alias("_a"))
+    pairs = a.select(
+        "_a", F.explode("_tags").alias("_b")
+    ).where(F.col("_a") < F.col("_b")).select(
+        F.concat_ws("&", "_a", "_b").alias("key")
+    )
+    return (
+        singles.unionByName(pairs)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def scripted_metric(
+    docs: DataFrame,
+    group_by: list[str],
+    map_reduce,
+    schema: str,
+) -> DataFrame:
+    """scripted_metric agg (reg SearchModule.java:456): arbitrary per-bucket
+    computation as a grouped-map pandas UDAF. `map_reduce(key, pdf) ->
+    pandas.DataFrame` plays init+map+combine+reduce in one Arrow batch per
+    bucket — Spark's partial aggregation replaces the shard-combine phase."""
+    return docs.groupBy(*group_by).applyInPandas(map_reduce, schema=schema)
+
+
 def sampler(scored: DataFrame, shard_size: int = 100, score_col: str = "score") -> DataFrame:
     """sampler agg (reg SearchModule.java:403): run sub-aggs over only the
     top `shard_size` docs by relevance — in Spark, one exact global top-N

@@ -88,3 +88,33 @@ def test_missing_bucket(spark, transcripts):
     ).collect()
     want = transcripts.where("tool = ''").count()
     assert out[0].doc_count == want
+
+
+def test_adjacency_matrix(spark, transcripts):
+    out = {r.key: r.doc_count for r in aggs.adjacency_matrix(
+        transcripts,
+        {"users": "role = 'user'", "early": "turn_idx < 4", "search": "tool = 'search'"},
+    ).collect()}
+    n_users = transcripts.where("role = 'user'").count()
+    n_both = transcripts.where("role = 'user' and turn_idx < 4").count()
+    assert out["users"] == n_users
+    assert out["early&users"] == n_both
+    assert "search&users" not in out or out["search&users"] == transcripts.where(
+        "role = 'user' and tool = 'search'"
+    ).count()
+
+
+def test_scripted_metric(spark, transcripts):
+    import pandas as pd
+
+    def mr(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # example "script": sum of squared turn_idx per role
+        return pd.DataFrame({"role": [key[0]], "sumsq": [float((pdf.turn_idx ** 2).sum())]})
+
+    out = aggs.scripted_metric(transcripts, ["role"], mr, "role string, sumsq double")
+    got = {r.role: r.sumsq for r in out.collect()}
+    for role in got:
+        want = transcripts.where(F.col("role") == role).agg(
+            F.sum(F.col("turn_idx") * F.col("turn_idx"))
+        ).first()[0]
+        assert got[role] == float(want)
