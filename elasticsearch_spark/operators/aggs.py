@@ -427,6 +427,44 @@ def diversified_sampler(
     )
 
 
+def significant_text(
+    docs_fg: DataFrame,
+    docs_bg: DataFrame,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """significant_text (reg SearchModule.java:426): significant_terms over
+    the ANALYZED tokens of a text field — JLH contrast of per-document term
+    frequency (distinct per doc) in the foreground vs background."""
+    from ..functions import analysis
+
+    def tok_df(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(F.array_distinct(analysis.tokens(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    fg = tok_df(docs_fg, "fg").where(F.col("fg") >= min_doc_count)
+    bg = tok_df(docs_bg, "bg")
+    n_fg, n_bg = docs_fg.count(), docs_bg.count()
+    fgp = F.col("fg") / F.lit(float(n_fg))
+    bgp = F.col("bg") / F.lit(float(n_bg))
+    return (
+        fg.join(bg, "term")
+        .select(
+            "term",
+            F.col("fg").alias("doc_count"),
+            F.col("bg").alias("bg_count"),
+            F.when(fgp > bgp, (fgp - bgp) * (fgp / bgp)).otherwise(0.0).alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(size)
+    )
+
+
 def significant_terms(
     docs_fg: DataFrame, docs_bg: DataFrame, field: str, size: int = 10
 ) -> DataFrame:

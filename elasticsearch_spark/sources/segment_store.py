@@ -152,6 +152,43 @@ class SegmentStore:
     def new_delete_file(self) -> str:
         return os.path.join(self.root, "deletes", f"del_{uuid.uuid4().hex[:12]}.parquet")
 
+    # ------------------------------------------------------------ retention
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg expire_snapshots analog: drop all but the newest
+        `keep_last` snapshots and DELETE segment dirs / delete files no
+        longer referenced by any retained snapshot. Returns removed paths."""
+        import shutil
+
+        ids = self.history()
+        if len(ids) <= keep_last:
+            return []
+        keep_ids = set(ids[-keep_last:])
+        keep_segs: set[str] = set()
+        keep_dels: set[str] = set()
+        for sid in keep_ids:
+            snap = self.snapshot(sid)
+            keep_segs.update(s.segment_id for s in snap.segments)
+            keep_dels.update(snap.delete_files)
+        removed: list[str] = []
+        for sid in ids:
+            if sid in keep_ids:
+                continue
+            snap = self.snapshot(sid)
+            for s in snap.segments:
+                if s.segment_id not in keep_segs:
+                    d = self.segment_dir(s.segment_id)
+                    if os.path.isdir(d):
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed.append(d)
+                        keep_segs.add(s.segment_id)  # don't re-remove
+            for df in snap.delete_files:
+                if df not in keep_dels and os.path.exists(df):
+                    os.remove(df)
+                    removed.append(df)
+                    keep_dels.add(df)
+            os.remove(os.path.join(self.root, "snapshots", f"v{sid}.json"))
+        return removed
+
     # ------------------------------------------------------------ lineage
     def completed_slices(self) -> set[str]:
         """Slice ids already committed (resume support: skip finished slices)."""

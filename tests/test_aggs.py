@@ -118,3 +118,11 @@ def test_scripted_metric(spark, transcripts):
             F.sum(F.col("turn_idx") * F.col("turn_idx"))
         ).first()[0]
         assert got[role] == float(want)
+
+
+def test_significant_text(spark, transcripts):
+    fg = transcripts.where("tool = 'search'")
+    out = aggs.significant_text(fg, transcripts, size=5).collect()
+    assert all(r.score > 0 for r in out)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)

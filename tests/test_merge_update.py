@@ -185,3 +185,26 @@ class TestUpdate:
         assert cur.where("tool = 'post_upd'").count() == 2
         # doc count unchanged; no duplicate keys survive the merge
         assert cur.groupBy(*KEYS).count().where("count > 1").count() == 0
+
+
+def test_expire_snapshots_vacuum(spark, transcripts, store4):
+    import os
+
+    from elasticsearch_spark.operators import merge
+
+    pre_segs = [s.segment_id for s in store4.snapshot().segments]
+    merge.compact(spark, store4, partitions=4)
+    # all snapshots still readable pre-expiry
+    assert len(store4.history()) >= 2
+    removed = store4.expire_snapshots(keep_last=1)
+    assert len(store4.history()) == 1
+    # merged-away input segments physically vacuumed
+    live = {s.segment_id for s in store4.snapshot().segments}
+    for sid in pre_segs:
+        if sid not in live:
+            assert not os.path.isdir(store4.segment_dir(sid))
+    assert removed
+    # current snapshot still answers queries
+    from elasticsearch_spark.operators import topk
+
+    assert topk.search_indexed(spark, store4, Q_OR, k=5).count() == 5
