@@ -269,6 +269,21 @@ def build_segment(
     # a range repartition here would re-run the whole encode chain to sample.
     postings.write.mode("overwrite").parquet(store.postings_path(seg_id))
 
+    # term dictionary: (term, df, cf) aggregated from the written postings
+    # (cheap columnar re-read of 3 small columns) — query-time stats become a
+    # term-pruned point read instead of a per-query aggregation job.
+    written = spark.read.parquet(store.postings_path(seg_id))
+    (
+        written.groupBy("term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("max_tf").alias("cf_ub"),  # upper bound; exact cf needs tf sums
+        )
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(store.term_stats_path(seg_id))
+    )
+
     n_docs, sum_dl = docs.agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).first()
     docs.unpersist()
     meta = SegmentMeta(

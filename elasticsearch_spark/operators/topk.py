@@ -109,6 +109,37 @@ def global_term_stats(postings: DataFrame) -> dict[str, int]:
     return {r.term: int(r.df) for r in rows}
 
 
+def term_stats_lookup(
+    spark: SparkSession, store: SegmentStore, snap: Snapshot, terms: list[str]
+) -> dict[str, int]:
+    """df(term) from the per-segment term-dictionary tables — a term-pruned
+    point read (the Lucene terms-dict seek analog), summed across segments.
+    Falls back to aggregating postings for pre-dictionary segments."""
+    import os
+
+    out: dict[str, int] = {}
+    legacy = []
+    for seg in snap.segments:
+        p = store.term_stats_path(seg.segment_id)
+        if not os.path.exists(p):
+            legacy.append(seg)
+            continue
+        for r in (
+            spark.read.parquet(p).where(F.col("term").isin(terms)).select("term", "df").collect()
+        ):
+            out[r.term] = out.get(r.term, 0) + int(r.df)
+    if legacy:
+        posts = None
+        for seg in legacy:
+            d = spark.read.parquet(store.postings_path(seg.segment_id)).where(
+                F.col("term").isin(terms)
+            )
+            posts = d if posts is None else posts.unionByName(d)
+        for t, df_ in global_term_stats(posts).items():
+            out[t] = out.get(t, 0) + df_
+    return out
+
+
 def _make_kernel(spec: KernelSpec):
     """Build the cogrouped-Arrow kernel closure. Pure numpy inside."""
     import numpy as np
@@ -451,8 +482,7 @@ def search_indexed(
         )
 
     postings = read_segment_postings(spark, store, snap, terms)
-    postings = postings.persist()
-    dfs = global_term_stats(postings)
+    dfs = term_stats_lookup(spark, store, snap, terms)
     weights = {
         t: __import__("math").log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
         for t in terms

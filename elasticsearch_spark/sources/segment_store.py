@@ -149,6 +149,11 @@ class SegmentStore:
     def postings_path(self, segment_id: str) -> str:
         return os.path.join(self.root, segment_id, "postings.parquet")
 
+    def term_stats_path(self, segment_id: str) -> str:
+        """Per-segment term dictionary (term, df, cf) — the Lucene terms-dict
+        metadata analog; makes the query stats phase a pruned point read."""
+        return os.path.join(self.root, segment_id, "term_stats.parquet")
+
     def new_delete_file(self) -> str:
         return os.path.join(self.root, "deletes", f"del_{uuid.uuid4().hex[:12]}.parquet")
 
