@@ -9,7 +9,7 @@ Default mode — one JSON line on stdout:
 
 `--scaling` mode — the north rule's two-cluster-size criterion evidenced on
 one machine: the same build job at two parallelism levels (local[N] vs
-local[4N], default N=8) on the same input; reports throughput at both and
+local[4N], default N=1) on the same input; reports throughput at both and
 scaling efficiency = (thr_4N / thr_N) / 4, appended to BENCH.md.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
@@ -137,7 +137,7 @@ def run_default() -> dict:
         spark.stop()
 
 
-def run_scaling(n_base: int = 1, trials: int = 2) -> dict:
+def run_scaling(n_base: int = 1, trials: int = 3) -> dict:
     """Same job, local[N] vs local[4N]: throughput at both + efficiency.
 
     Sandbox caveats (documented in BENCH.md): this single VM's memory

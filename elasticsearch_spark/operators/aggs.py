@@ -75,10 +75,23 @@ def aggregate(docs: DataFrame, body: dict) -> DataFrame:
     ]
     if len(bucket) > 1:
         raise ValueError("one bucket agg per level (nest via sub-aggs)")
+    if bucket and metrics:
+        # ES returns sibling metrics next to the bucket tree; the flat-output
+        # convention has no row shape for that — fail loudly, never drop.
+        raise ValueError(
+            "top-level sibling metric aggs next to a bucket agg are unsupported "
+            f"(bucket={bucket[0][0]!r}, metrics={[n for n, _ in metrics]}); "
+            "nest metrics under the bucket agg's 'aggs' instead"
+        )
 
     if not bucket:
         th = [(n, s) for n, s in metrics if _kind(s) == "top_hits"]
         if th:
+            if len(metrics) > 1:
+                raise ValueError(
+                    "top_hits cannot be combined with sibling metric aggs "
+                    f"({[n for n, _ in metrics]}); run them as separate aggregations"
+                )
             (name, spec), = th
             return _top_hits(docs, spec[_kind(spec)], group_cols=[])
         cols = []
@@ -97,6 +110,12 @@ def aggregate(docs: DataFrame, body: dict) -> DataFrame:
 
     out, key_cols, order = _bucket(docs, bname, bspec[kind], kind, plain)
     if th:
+        if plain or sub_pipeline:
+            raise ValueError(
+                "top_hits cannot be combined with sibling sub-metrics or "
+                f"pipelines under one bucket agg (got {[n for n, _ in plain]} "
+                f"+ {[n for n, _ in sub_pipeline]}); run them as separate aggregations"
+            )
         (tn, ts), = th
         kc = _bucket_key_exprs(bname, bspec[kind], kind)
         kn = ([next(iter(s_)) for s_ in bspec[kind]["sources"]] if kind == "composite" else [bname])

@@ -29,10 +29,26 @@ from pyspark.sql import functions as F
 from ..plans import query_dsl as Q
 
 
-def from_size(scored_sorted: DataFrame, from_: int = 0, size: int = 10) -> DataFrame:
+def from_size(
+    scored_sorted: DataFrame,
+    from_: int = 0,
+    size: int = 10,
+    order_cols: list | None = None,
+) -> DataFrame:
     """Offset pagination: LIMIT from+size then slice (coordinator-side skip,
-    like ES's from+size over merged shard tops)."""
-    w = Window.orderBy(F.lit(1))  # rows already globally sorted upstream
+    like ES's from+size over merged shard tops).
+
+    order_cols re-establishes the caller's sort inside the window — Spark does
+    not guarantee row order survives the limit->window exchange, so ranking by
+    a constant would silently pick wrong rows on multi-partition plans. The
+    default matches search()'s contract: (round(score,6) desc, other cols asc).
+    """
+    if order_cols is None:
+        cols = scored_sorted.columns
+        order_cols = (
+            [F.round(F.col("score"), 6).desc()] if "score" in cols else []
+        ) + [F.col(c).asc() for c in cols if c != "score"]
+    w = Window.orderBy(*order_cols)
     head = scored_sorted.limit(from_ + size)
     return (
         head.withColumn("_rn", F.row_number().over(w))

@@ -69,6 +69,12 @@ def merge_segments(
     lineage = "+".join(sorted(by_id[sid].slice_id for sid in segment_ids))
     meta = build_segment(spark, store, live, f"merge({lineage})", partitions)
     meta.metrics["merged_from"] = sorted(segment_ids)
+    # carry constituent slice ids so completed_slices() keeps recognizing the
+    # original build slices / streaming batch ids after compaction
+    src: set[str] = set()
+    for sid in segment_ids:
+        src |= by_id[sid].effective_slices
+    meta.source_slices = sorted(src)
 
     if not commit:
         return meta, None

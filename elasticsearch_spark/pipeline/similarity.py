@@ -188,7 +188,7 @@ def ivf_topk(
     for r in qrows:
         v = np.array(r[q_vec_col], dtype=float)
         v = v / (np.linalg.norm(v) or 1.0)
-        order = np.argsort(-(Cn @ v))[:n_probe]
+        order = np.argsort(-(Cn @ v), kind="stable")[:n_probe]
         for c in order:
             probe_rows.append((r[q_id_col], int(c), [float(x) for x in r[q_vec_col]]))
     spark = emb_clustered.sparkSession

@@ -42,6 +42,21 @@ class SegmentMeta:
     slice_id: str  # lineage: which input slice produced this segment
     tier_bytes: int = 0  # on-disk size, drives LSM tier selection
     metrics: dict[str, Any] = field(default_factory=dict)
+    # constituent input slices carried through merges: a merged segment keeps
+    # every original slice_id so completed_slices() (idempotent-replay guard
+    # for streaming/resume) still recognizes them after compaction rewrites
+    # slice_id to "merge(...)".
+    source_slices: list[str] = field(default_factory=list)
+    # per-indexed-field token-count sums (BM25 avgdl numerators); sum_dl stays
+    # the `text` field's for manifest back-compat.
+    field_sum_dl: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def effective_slices(self) -> set[str]:
+        out = set(self.source_slices)
+        if self.slice_id and not self.slice_id.startswith("merge("):
+            out.add(self.slice_id)
+        return out
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -68,6 +83,14 @@ class Snapshot:
     @property
     def sum_dl(self) -> int:
         return sum(s.sum_dl for s in self.segments)
+
+    def field_sum_dl(self, field_name: str) -> int:
+        """Per-field sum of token counts (falls back to sum_dl for `text` on
+        manifests written before multi-field indexing)."""
+        return sum(
+            s.field_sum_dl.get(field_name, s.sum_dl if field_name == "text" else 0)
+            for s in self.segments
+        )
 
 
 class SegmentStore:
@@ -196,11 +219,20 @@ class SegmentStore:
 
     # ------------------------------------------------------------ lineage
     def completed_slices(self) -> set[str]:
-        """Slice ids already committed (resume support: skip finished slices)."""
+        """Slice ids already committed (resume support: skip finished slices).
+
+        Unions each segment's constituent slices so a post-merge replay of an
+        already-indexed micro-batch / build slice is still skipped (the
+        exactly-once guard survives compaction)."""
         snap = self.snapshot()
         if snap is None:
             return set()
-        return {s.slice_id for s in snap.segments if s.slice_id}
+        out: set[str] = set()
+        for s in snap.segments:
+            out |= s.effective_slices
+            if s.slice_id:
+                out.add(s.slice_id)
+        return out
 
     def dir_size(self, segment_id: str) -> int:
         total = 0
