@@ -141,6 +141,82 @@ SELECT rng, count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn FROM (
               when turn_idx < 10 then '5-10' else '10-' end AS rng, turn_idx
   FROM transcripts) GROUP BY rng""",
     },
+    # --- auto_date_histogram (AutoDateHistogramAggregationBuilder): interval
+    # picked from the fixed-seconds ladder to fit <= `buckets` buckets; oracle
+    # reproduces the selection with the same floor arithmetic in SQL.
+    "agg_auto_date_histogram": {
+        "body": {"aggs": {"bkt": {"auto_date_histogram": {"field": "ts", "buckets": 10}}}},
+        "oracle": None,  # generated below (ladder CASE)
+    },
+    # --- date_range agg (DateRangeAggregationBuilder): keyed ranges on ts
+    "agg_date_range": {
+        "body": {
+            "aggs": {
+                "ts_window": {
+                    "date_range": {
+                        "field": "ts",
+                        "ranges": [
+                            {"key": "early", "to": "2024-01-01T02:00:00"},
+                            {
+                                "key": "mid",
+                                "from": "2024-01-01T02:00:00",
+                                "to": "2024-01-01T04:00:00",
+                            },
+                            {"key": "late", "from": "2024-01-01T04:00:00"},
+                        ],
+                    },
+                    "aggs": {"n_convs": {"cardinality": {"field": "conv_id"}}},
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT ts_window, count(*) AS doc_count,
+       cast(count(DISTINCT conv_id) as bigint) AS n_convs FROM (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-01 02:00:00' THEN 'early'
+              WHEN ts < TIMESTAMP '2024-01-01 04:00:00' THEN 'mid'
+              ELSE 'late' END AS ts_window, conv_id
+  FROM transcripts) GROUP BY ts_window""",
+    },
+    # --- ip_range agg (IpRangeAggregationBuilder): from/to + CIDR mask over a
+    # derived dotted-quad column; overlapping ranges multi-tag (ES semantics).
+    # The oracle computes the uint32 numerically — independent of the engine's
+    # string-split parsing.
+    "agg_ip_range": {
+        "body": {
+            "aggs": {
+                "ips": {
+                    "ip_range": {
+                        "field": (
+                            "concat('10.', cast(turn_idx % 4 as string), '.', "
+                            "cast(length(text) % 256 as string), '.', "
+                            "cast(turn_idx % 250 as string))"
+                        ),
+                        "ranges": [
+                            {"key": "low", "to": "10.1.0.0"},
+                            {"key": "mid", "from": "10.1.0.0", "to": "10.3.0.0"},
+                            {"key": "cidr_15", "mask": "10.2.0.0/15"},
+                        ],
+                    }
+                }
+            }
+        },
+        "oracle": f"""{TRANSCRIPTS_CTE},
+nums AS (
+  SELECT 10 * 16777216 + (turn_idx % 4) * 65536 +
+         (length(text) % 256) * 256 + (turn_idx % 250) AS ipn
+  FROM transcripts
+),
+tagged AS (
+  SELECT 'low' AS ips FROM nums WHERE ipn < 10 * 16777216 + 65536
+  UNION ALL
+  SELECT 'mid' FROM nums
+  WHERE ipn >= 10 * 16777216 + 65536 AND ipn < 10 * 16777216 + 3 * 65536
+  UNION ALL
+  SELECT 'cidr_15' FROM nums
+  WHERE ipn >= 10 * 16777216 + 2 * 65536 AND ipn < 10 * 16777216 + 4 * 65536
+)
+SELECT ips, count(*) AS doc_count FROM tagged GROUP BY ips""",
+    },
     # --- global stats / extended_stats (single row)
     "agg_extended_stats": {
         "body": {
@@ -359,6 +435,35 @@ def _sig_terms_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mad_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TR.transcripts_view(spark, sf_dir)
     return _round_doubles(aggs.aggregate_mad(docs, "turn_idx", group_by=["role"]))
+
+
+def _auto_dh_oracle(target: int = 10) -> str:
+    """Hand-derived oracle for auto_date_histogram: the interval ladder
+    selection re-expressed with the same floor arithmetic in DuckDB SQL."""
+    from .operators.aggs import AUTO_DH_LADDER
+
+    whens = " ".join(
+        f"WHEN (hi // {s}) - (lo // {s}) + 1 <= {target} THEN {s}"
+        for s in AUTO_DH_LADDER
+    )
+    return f"""{TRANSCRIPTS_CTE},
+s AS (SELECT cast(epoch(min(ts)) as bigint) AS lo,
+             cast(epoch(max(ts)) as bigint) AS hi FROM transcripts),
+sel AS (SELECT (CASE {whens} ELSE {AUTO_DH_LADDER[-1]} END) AS secs, lo, hi FROM s),
+grid AS (SELECT make_timestamp(b * (SELECT secs FROM sel) * 1000000) AS bkt
+         FROM (SELECT unnest(generate_series(
+                   (SELECT lo // secs FROM sel),
+                   (SELECT hi // secs FROM sel))) AS b)),
+counted AS (
+  SELECT make_timestamp((cast(epoch(ts) as bigint) // (SELECT secs FROM sel))
+                        * (SELECT secs FROM sel) * 1000000) AS bkt,
+         count(*) AS doc_count
+  FROM transcripts GROUP BY 1)
+SELECT g.bkt, coalesce(c.doc_count, 0) AS doc_count
+FROM grid g LEFT JOIN counted c USING (bkt) ORDER BY g.bkt"""
+
+
+AGG_QUERIES["agg_auto_date_histogram"]["oracle"] = _auto_dh_oracle()
 
 
 def agg_query_fns() -> dict:

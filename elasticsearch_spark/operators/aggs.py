@@ -34,12 +34,50 @@ BUCKET_KINDS = {
     "rare_terms",
     "histogram",
     "date_histogram",
+    "auto_date_histogram",
     "range",
+    "date_range",
+    "ip_range",
     "filters",
     "missing",
     "composite",
     "significant_terms",
 }
+
+# auto_date_histogram interval ladder, in seconds (AutoDateHistogram's
+# second/minute/hour/day/week/month/year roundings approximated as fixed
+# epoch-second intervals — documented divergence: ES rounds on calendar
+# boundaries, we round on epoch multiples so the oracle can mirror exactly).
+AUTO_DH_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 7776000, 31536000,
+    5 * 31536000, 10 * 31536000, 20 * 31536000, 50 * 31536000, 100 * 31536000,
+]
+
+
+def ip_to_long(ip: str) -> int:
+    """Dotted-quad -> uint32 (IpRangeAggregationBuilder bound parsing)."""
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def cidr_to_range(mask: str) -> tuple[int, int]:
+    """CIDR -> [lo, hi) uint32 range."""
+    ip, bits = mask.split("/")
+    bits = int(bits)
+    lo = ip_to_long(ip) & (~((1 << (32 - bits)) - 1) & 0xFFFFFFFF)
+    return lo, lo + (1 << (32 - bits))
+
+
+def ip_long_sql(field_expr: str) -> str:
+    """SQL turning a dotted-quad string expr into its uint32 (shared shape
+    with the oracle: split + positional casts)."""
+    return (
+        f"(cast(split({field_expr}, '\\\\.')[0] as bigint) * 16777216 + "
+        f"cast(split({field_expr}, '\\\\.')[1] as bigint) * 65536 + "
+        f"cast(split({field_expr}, '\\\\.')[2] as bigint) * 256 + "
+        f"cast(split({field_expr}, '\\\\.')[3] as bigint))"
+    )
 PIPELINE_KINDS = {
     "cumulative_sum",
     "derivative",
@@ -278,18 +316,72 @@ def _bucket(docs: DataFrame, bname: str, b: dict, kind: str, sub_metrics):
                 )
         return grouped.orderBy(bname), [bname], [bname]
 
-    if kind == "range":
-        c = F.col(b["field"]).cast("double")
+    if kind == "auto_date_histogram":
+        # pick the smallest ladder interval yielding <= `buckets` buckets over
+        # the data range (AutoDateHistogramAggregationBuilder targets ~buckets
+        # with its rounding ladder), then bucket + zero-fill like
+        # date_histogram min_doc_count=0. Interval choice needs the global
+        # min/max — a 1-row agg, the shard-reduce ES also performs.
+        target = int(b.get("buckets", 10))
+        c = F.unix_timestamp(F.col(b["field"]).cast("timestamp"))
+        lohi = docs.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        if lohi.lo is None:
+            secs = AUTO_DH_LADDER[0]
+        else:
+            secs = AUTO_DH_LADDER[-1]
+            for s in AUTO_DH_LADDER:
+                if lohi.hi // s - lohi.lo // s + 1 <= target:
+                    secs = s
+                    break
+        key = F.timestamp_seconds(F.floor(c / secs).cast("long") * secs).alias(bname)
+        grouped = docs.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+        if lohi.lo is not None:
+            lo_i, hi_i = lohi.lo // secs, lohi.hi // secs
+            full = docs.sparkSession.range(lo_i, hi_i + 1).select(
+                F.timestamp_seconds(F.col("id") * secs).alias(bname)
+            )
+            grouped = full.join(grouped, bname, "left").na.fill({"doc_count": 0})
+        return grouped.orderBy(bname), [bname], [bname]
+
+    if kind in ("range", "date_range", "ip_range"):
+        if kind == "ip_range":
+            c = F.expr(ip_long_sql(b["field"])).cast("double")
+        elif kind == "date_range":
+            c = F.unix_timestamp(F.col(b["field"]).cast("timestamp")).cast("double")
+        else:
+            c = F.col(b["field"]).cast("double")
+
+        def bound(v):
+            if kind == "ip_range":
+                return float(ip_to_long(v)) if isinstance(v, str) else float(v)
+            if kind == "date_range":
+                import datetime as _dt
+
+                if isinstance(v, str):
+                    return float(
+                        _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                        .replace(tzinfo=_dt.timezone.utc)
+                        .timestamp()
+                    )
+                return float(v)
+            return float(v)
+
         branches = []
         for r in b["ranges"]:
+            if kind == "ip_range" and "mask" in r:
+                lo, hi = cidr_to_range(r["mask"])
+                label = r.get("key") or r["mask"]
+                cond = (c >= float(lo)) & (c < float(hi))
+                branches.append((label, cond, float(lo)))
+                continue
             lo, hi = r.get("from"), r.get("to")
             label = r.get("key") or f"{'' if lo is None else _num(lo)}-{'' if hi is None else _num(hi)}"
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (c >= float(lo))
+                cond = cond & (c >= bound(lo))
             if hi is not None:
-                cond = cond & (c < float(hi))
-            branches.append((label, cond, 0.0 if lo is None else float(lo)))
+                cond = cond & (c < bound(hi))
+            branches.append((label, cond, 0.0 if lo is None else bound(lo)))
         tagged = docs.select(
             "*",
             F.explode(

@@ -41,8 +41,25 @@ BLOCK_RANGE = 4096  # ordinals per postings block
 
 DOC_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
+# fields with full-text postings (DOCS_AND_FREQS_AND_POSITIONS). The reference
+# indexes every mapped text field into the same per-segment inverted index
+# (index/mapper/TextFieldMapper.java); here `text` is the body and `tool` the
+# secondary match/multi_match-able field. Keyword-style filters (role, tool
+# equality, turn_idx ranges) stay on the docs tables = the doc-values path.
+INDEXED_FIELDS = ["text", "tool"]
+
+
+def dl_col(f: str) -> str:
+    return "dl" if f == "text" else f"dl_{f}"
+
+
+def norm_col(f: str) -> str:
+    return "norm" if f == "text" else f"norm_{f}"
+
+
 POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
         T.StructField("bk", T.IntegerType()),  # block key = ordinal // BLOCK_RANGE
         T.StructField("n", T.IntegerType()),  # postings in block
@@ -59,11 +76,15 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 # byte4-encode SQL (storage form of the norm, 1 byte/doc like Lucene norms)
-_NORM_BYTE_SQL = (
-    "case when dl < 8 then dl else "
-    "((shiftright(cast(dl as bigint), cast(floor(log2(cast(dl as double))) as int) - 3) & 7) "
-    "| shiftleft(cast(floor(log2(cast(dl as double))) as int) - 2, 3)) end"
-)
+def _norm_byte_sql(dl: str = "dl") -> str:
+    return (
+        f"case when {dl} < 8 then {dl} else "
+        f"((shiftright(cast({dl} as bigint), cast(floor(log2(cast({dl} as double))) as int) - 3) & 7) "
+        f"| shiftleft(cast(floor(log2(cast({dl} as double))) as int) - 2, 3)) end"
+    )
+
+
+_NORM_BYTE_SQL = _norm_byte_sql("dl")
 
 
 def assign_ordinals(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -128,11 +149,12 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
     empty = pdf.iloc[0:0]
     if pdf.empty:
         return None, empty
+    fld = pdf["field"].to_numpy(dtype=object)
     term = pdf["term"].to_numpy(dtype=object)
     bk = pdf["bk"].to_numpy(dtype=np.int64)
     new_run = np.empty(len(pdf), dtype=bool)
     new_run[0] = True
-    new_run[1:] = (term[1:] != term[:-1]) | (bk[1:] != bk[:-1])
+    new_run[1:] = (fld[1:] != fld[:-1]) | (term[1:] != term[:-1]) | (bk[1:] != bk[:-1])
     starts = np.flatnonzero(new_run)
     if hold_last:
         if len(starts) == 1:
@@ -140,7 +162,7 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
         cut = int(starts[-1])
         remainder = pdf.iloc[cut:]
         pdf = pdf.iloc[:cut]
-        term, bk = term[:cut], bk[:cut]
+        fld, term, bk = fld[:cut], term[:cut], bk[:cut]
         starts = starts[:-1]
     else:
         remainder = empty
@@ -184,6 +206,7 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
 
     out = pd.DataFrame(
         {
+            "field": fld[starts],
             "term": term[starts],
             "bk": bk[starts].astype(np.int32),
             "n": (g_ends - g_starts).astype(np.int32),
@@ -231,68 +254,88 @@ def build_segment(
     """Build one immutable segment (docs + postings) from a transcripts slice."""
     seg_id = store.new_segment_id()
     docs = assign_ordinals(slice_df, partitions)
-    docs = docs.withColumn("dl", analysis.token_count("text")).withColumn(
-        "norm", F.expr(_NORM_BYTE_SQL).cast("int")
-    )
+    for f in INDEXED_FIELDS:
+        # dl NULL (field absent) stays NULL: absent fields contribute no
+        # postings and are excluded from the field's sum_dl, mirroring the
+        # logical path's corpus_stats (sum skips NULL token arrays).
+        docs = docs.withColumn(dl_col(f), analysis.token_count(f)).withColumn(
+            norm_col(f), F.expr(_norm_byte_sql(dl_col(f))).cast("int")
+        )
     docs.persist()
 
+    extra_cols = [c for f in INDEXED_FIELDS for c in (dl_col(f), norm_col(f))]
     # assign_ordinals output is already range-partitioned by (conv_id,
     # turn_idx) == ordinal order; write directly (no extra shuffle/sample job),
     # files stay ordinal-sorted for row-group pruning on fetch.
     (
-        docs.select("ordinal", *DOC_COLS, "dl", "norm")
+        docs.select("ordinal", *DOC_COLS, *extra_cols)
         .write.mode("overwrite")
         .parquet(store.docs_path(seg_id))
     )
 
     # ONE shuffle for the whole postings build: raw token occurrences are
-    # hash-repartitioned by (term, bk) and sorted; tf is the count of adjacent
-    # duplicate ordinals, aggregated inside the Arrow encoder (a groupBy here
-    # would add a second full shuffle for ~25% less shuffle volume — a loss).
-    # The bk component of the key IS the salt for hot terms: a term with
-    # df = all docs spreads over n_docs/BLOCK_RANGE keys (north_rule's
-    # salted-key skew handling), and block-max metadata stays exact.
-    occ = (
-        docs.select(
-            "ordinal", "norm", F.posexplode(analysis.tokens("text")).alias("pos", "term")
+    # hash-repartitioned by (field, term, bk) and sorted; tf is the count of
+    # adjacent duplicate ordinals, aggregated inside the Arrow encoder (a
+    # groupBy here would add a second full shuffle for ~25% less shuffle
+    # volume — a loss). The bk component of the key IS the salt for hot
+    # terms: a term with df = all docs spreads over n_docs/BLOCK_RANGE keys
+    # (north_rule's salted-key skew handling), and block-max metadata stays
+    # exact. All indexed fields ride the same shuffle (field is just a key
+    # prefix), like Lucene's single per-segment terms dictionary.
+    occ = None
+    for f in INDEXED_FIELDS:
+        o = (
+            docs.select(
+                "ordinal",
+                F.lit(f).alias("field"),
+                F.col(norm_col(f)).alias("norm"),
+                F.posexplode(analysis.tokens(f)).alias("pos", "term"),
+            )
+            .withColumn("bk", (F.col("ordinal") / BLOCK_RANGE).cast("int"))
         )
-        .withColumn("bk", (F.col("ordinal") / BLOCK_RANGE).cast("int"))
-    )
+        occ = o if occ is None else occ.unionByName(o)
     p = partitions or spark.sparkContext.defaultParallelism
     postings = (
-        occ.repartition(p, "term", "bk")
-        .sortWithinPartitions("term", "bk", "ordinal", "pos")
+        occ.repartition(p, "field", "term", "bk")
+        .sortWithinPartitions("field", "term", "bk", "ordinal", "pos")
         .mapInPandas(_encode_partition, schema=POSTINGS_SCHEMA)
     )
-    # write straight from the encode pass: files are (term, bk)-sorted within
-    # each hash partition, so parquet row-group min/max stats prune term scans;
-    # a range repartition here would re-run the whole encode chain to sample.
+    # write straight from the encode pass: files are (field, term, bk)-sorted
+    # within each hash partition, so parquet row-group min/max stats prune term
+    # scans; a range repartition here would re-run the whole encode chain to
+    # sample.
     postings.write.mode("overwrite").parquet(store.postings_path(seg_id))
 
-    # term dictionary: (term, df, cf) aggregated from the written postings
-    # (cheap columnar re-read of 3 small columns) — query-time stats become a
+    # term dictionary: (field, term, df) aggregated from the written postings
+    # (cheap columnar re-read of small columns) — query-time stats become a
     # term-pruned point read instead of a per-query aggregation job.
     written = spark.read.parquet(store.postings_path(seg_id))
     (
-        written.groupBy("term")
+        written.groupBy("field", "term")
         .agg(
             F.sum("n").alias("df"),
             F.sum("max_tf").alias("cf_ub"),  # upper bound; exact cf needs tf sums
         )
-        .sortWithinPartitions("term")
+        .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(store.term_stats_path(seg_id))
     )
 
-    n_docs, sum_dl = docs.agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).first()
+    sums = docs.agg(
+        F.count(F.lit(1)),
+        *[F.coalesce(F.sum(dl_col(f)), F.lit(0)) for f in INDEXED_FIELDS],
+    ).first()
+    n_docs = int(sums[0])
+    field_sum_dl = {f: int(sums[1 + i]) for i, f in enumerate(INDEXED_FIELDS)}
     docs.unpersist()
     meta = SegmentMeta(
         segment_id=seg_id,
-        n_docs=int(n_docs),
-        sum_dl=int(sum_dl),
+        n_docs=n_docs,
+        sum_dl=field_sum_dl["text"],
         slice_id=slice_id,
         tier_bytes=store.dir_size(seg_id),
         metrics={"partitions": p},
+        field_sum_dl=field_sum_dl,
     )
     return meta
 

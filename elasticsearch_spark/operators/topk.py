@@ -2,85 +2,175 @@
 per-partition heaps -> global merge.
 
 Direct analog of the reference's query-then-fetch (SURVEY.md §3.1):
-  1. term stats lookup (global N/avgdl from the manifest, df(term) from a
-     term-pruned postings aggregate) — the DFS/stats phase,
-  2. per-(segment, bucket) Arrow kernel scores candidates with BM25 and prunes
-     whole ordinal-range blocks whose upper bound can't reach the running
-     threshold — block-max WAND/MaxScore semantics
-     (TopDocsCollectorContext.java:212-296 + Lucene impacts, re-expressed on a
-     fixed ordinal-range block grid so the bound math is fully vectorized),
+  1. term stats lookup (global N/avgdl from the manifest, df(field, term) from
+     the per-segment term dictionaries) — the DFS/stats phase,
+  2. per-(segment, bucket) Arrow kernel evaluates a SCORE-EXPRESSION TREE over
+     the block's postings with BM25 weights and prunes whole ordinal-range
+     blocks whose upper bound can't reach the running threshold — block-max
+     WAND/MaxScore semantics (TopDocsCollectorContext.java:212-296 + Lucene
+     impacts, re-expressed on a fixed ordinal-range block grid so the bound
+     math is fully vectorized). The tree mirrors Lucene's Query/Weight/Scorer
+     composition (BooleanWeight, DisjunctionMaxQuery, FunctionScoreQuery):
+     every SearchModule.java-registered query the engine supports lowers to
+     TermsLeaf / PhraseLeaf / ChannelLeaf composed under Bool / DisMax /
+     ConstScore / FuncScore / Boosting nodes,
   3. tiny per-group top-k unions merged by a global orderBy/limit — the
      SearchPhaseController.java:154-243 shard-merge analog,
-  4. fetch phase = broadcast join of <= buckets*k winners back to the docs
-     tables for (conv_id, turn_idx) (+ any _source columns).
+  4. fetch phase = ordinal-pruned point reads of <= buckets*k winners from the
+     docs tables (+ any _source columns).
 
-Filter / must_not clauses become allow/deny ordinal sets computed by a
-predicate-pushdown scan of the docs tables, cogrouped into the kernel —
-ES filter-context: no score contribution, pure candidate masking. Positional
-deletes from updates are a deny set the same way (Lucene liveDocs analog).
+Doc-field-dependent clauses (term/range filters, function_score field values,
+terms_set per-doc thresholds, boosting demotions) become CHANNELS: columnar
+(ordinal, value) reads of the docs tables cogrouped into the kernel by bucket
+— the Lucene doc-values / FieldData read path. Positional deletes from updates
+ride the same stream as a deny channel (liveDocs analog).
+
+Queries whose scoring needs no postings at all (term/ids/range/exists-only,
+constant_score over filters, distance_feature) run a DOCS-ONLY plan: a
+predicate-pushdown scan of the docs tables with the score as a column
+expression — the doc-values-only execution ES uses for filter-context-only
+searches.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import analysis, scoring
 from ..sources.segment_store import SegmentStore, Snapshot
-from .index_build import BLOCK_RANGE
+from .index_build import BLOCK_RANGE, INDEXED_FIELDS
 
 BUCKET_BLOCKS = 64  # blocks per kernel group: intra-segment parallelism unit
+DENY_FID = -1  # channel id reserved for positional deletes
+_POS_SHIFT = 32  # occurrence key = ordinal << 32 | position
 
 
+# --------------------------------------------------------------- score tree
 @dataclass
-class TermGroup:
-    """One scoring clause: doc must match >= need of the group's terms
-    (need=0: optional, scores only; forbidden: doc must match none)."""
+class TermsLeaf:
+    """Sum-of-BM25 over `terms` on an indexed field; matches when the count of
+    distinct matched terms >= need (Lucene BooleanQuery-of-TermQuery with
+    minimumNumberShouldMatch). const_score switches to the multi-term
+    constant-score rewrite (prefix/wildcard/fuzzy/regexp expansions,
+    MultiTermQuery CONSTANT_SCORE_REWRITE). need_fid reads the per-doc
+    threshold from a value channel (terms_set, TermsSetQueryBuilder)."""
 
+    field: str
     terms: list[str]
     need: int = 1
-    forbidden: bool = False
-    weighted: bool = True  # contribute BM25 score
+    const_score: float | None = None
+    need_fid: int | None = None
 
 
 @dataclass
-class PhraseGroup:
-    """Exact-adjacency phrase (match_phrase slop=0): doc must contain the
-    terms at consecutive positions; scores idf_sum * BM25-saturated phrase
-    freq (the logical path's formula, plans/query_dsl._match_phrase)."""
+class PhraseLeaf:
+    """Exact-adjacency phrase (match_phrase slop=0, MatchQuery.java:144).
+    prefix_expansions: term-dictionary expansions for the trailing position
+    (match_phrase_prefix); weight = idf sum (bound at stats time)."""
 
+    field: str
     terms: list[str]
-    weight: float = 0.0  # idf sum over distinct terms
+    prefix_expansions: list[str] | None = None
+    weight: float = 0.0
 
 
 @dataclass
-class KernelSpec:
-    groups: list[TermGroup]
-    weights: dict[str, float]  # term -> idf
-    avgdl: float
-    k: int
-    score_filtered_zero: bool = False  # bool-with-only-filters semantics
-    phrases: list[PhraseGroup] = None  # positions-verified clauses
+class ChannelLeaf:
+    """Docs-side clause: matches when the doc has a row in channel `fid`.
+    Scores `const` (ConstantScore rewrites: term-filter 1.0, keyword-idf) or
+    the channel's per-doc value when const is None (distance_feature)."""
 
-    @property
-    def all_terms(self) -> list[str]:
-        out: list[str] = []
-        for g in self.groups:
-            out.extend(g.terms)
-        return sorted(set(out))
+    fid: int
+    const: float | None = 1.0
 
 
+@dataclass
+class BoolNode:
+    """BoolQueryBuilder.java:306-318 semantics on the kernel: must AND+score,
+    filter_fids AND no-score, should score with clause-count msm, must_not
+    excludes."""
+
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    msm: int = 0
+    filter_fids: list[int] = field(default_factory=list)
+
+
+@dataclass
+class DisMaxNode:
+    children: list
+    tie: float = 0.0
+
+
+@dataclass
+class ConstScoreNode:
+    child: object
+    boost: float = 1.0
+
+
+@dataclass
+class FuncScoreNode:
+    """function_score: the whole functions list is pre-compiled to ONE docs
+    SQL expression feeding value channel `fid`; boost_mode folds it into the
+    child score (functionscore/FunctionScoreQueryBuilder)."""
+
+    child: object
+    fid: int
+    boost_mode: str = "multiply"
+
+
+@dataclass
+class BoostingNode:
+    positive: object
+    neg_fid: int
+    negative_boost: float = 0.5
+
+
+@dataclass
+class Channel:
+    fid: int
+    expr: str  # SQL over docs columns
+    mode: str  # 'allow' (presence of a true predicate) | 'value' (double)
+    ub: float = float("inf")  # max value (pruning bound) for value channels
+
+
+@dataclass
+class KernelPlan:
+    tree: object
+    channels: list[Channel]
+    ft_pairs: list[tuple[str, str]]  # postings (field, term) reads
+    phrase_fts: set[tuple[str, str]]  # need positions decoded
+
+
+@dataclass
+class DocsPlan:
+    tree: object
+    channels: list[Channel]
+
+
+# ------------------------------------------------------------------ reading
 def read_segment_postings(
-    spark: SparkSession, store: SegmentStore, snap: Snapshot, terms: list[str]
+    spark: SparkSession, store: SegmentStore, snap: Snapshot,
+    ft_pairs: list[tuple[str, str]],
 ) -> DataFrame:
+    by_field: dict[str, list[str]] = {}
+    for f, t in ft_pairs:
+        by_field.setdefault(f, []).append(t)
+    pred = None
+    for f, ts in by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(ts)
+        pred = c if pred is None else (pred | c)
     parts = []
     for seg in snap.segments:
         parts.append(
             spark.read.parquet(store.postings_path(seg.segment_id))
-            .where(F.col("term").isin(terms))
+            .where(pred)
             .withColumn("segment", F.lit(seg.segment_id))
         )
     df = parts[0]
@@ -103,203 +193,791 @@ def read_segment_docs(spark: SparkSession, store: SegmentStore, snap: Snapshot) 
     return df
 
 
-def global_term_stats(postings: DataFrame) -> dict[str, int]:
-    """df(term) summed across segments (a few rows — the ES stats lookup)."""
-    rows = postings.groupBy("term").agg(F.sum("n").alias("df")).collect()
-    return {r.term: int(r.df) for r in rows}
-
-
 def term_stats_lookup(
-    spark: SparkSession, store: SegmentStore, snap: Snapshot, terms: list[str]
-) -> dict[str, int]:
-    """df(term) from the per-segment term-dictionary tables — a term-pruned
-    point read (the Lucene terms-dict seek analog), summed across segments.
-    Falls back to aggregating postings for pre-dictionary segments."""
-    import os
-
-    out: dict[str, int] = {}
-    legacy = []
+    spark: SparkSession, store: SegmentStore, snap: Snapshot,
+    ft_pairs: list[tuple[str, str]],
+) -> dict[tuple[str, str], int]:
+    """df(field, term) from the per-segment term-dictionary tables — a
+    term-pruned point read (the Lucene terms-dict seek analog), summed across
+    segments."""
+    if not ft_pairs:
+        return {}
+    terms = sorted({t for _, t in ft_pairs})
+    out: dict[tuple[str, str], int] = {}
     for seg in snap.segments:
-        p = store.term_stats_path(seg.segment_id)
-        if not os.path.exists(p):
-            legacy.append(seg)
+        d = spark.read.parquet(store.term_stats_path(seg.segment_id)).where(
+            F.col("term").isin(terms)
+        )
+        if "field" not in d.columns:  # pre-multi-field segment: text only
+            d = d.withColumn("field", F.lit("text"))
+        for r in d.select("field", "term", "df").collect():
+            k = (r.field, r.term)
+            out[k] = out.get(k, 0) + int(r.df)
+    return {k: v for k, v in out.items() if k in set(ft_pairs)}
+
+
+def expand_terms(
+    spark: SparkSession, store: SegmentStore, snap: Snapshot,
+    field_name: str, kind: str, value, max_expansions: int | None = None,
+) -> list[str]:
+    """Multi-term expansion against the term dictionary (Lucene
+    MultiTermQuery term enumeration over the terms dict). prefix pushes a
+    StringStartsWith filter into the parquet scan; wildcard/regexp push rlike;
+    fuzzy scans the (small) dictionary with a levenshtein expression."""
+    out: set[str] = set()
+    for seg in snap.segments:
+        d = spark.read.parquet(store.term_stats_path(seg.segment_id))
+        if "field" in d.columns:
+            d = d.where(F.col("field") == field_name)
+        elif field_name != "text":
             continue
-        for r in (
-            spark.read.parquet(p).where(F.col("term").isin(terms)).select("term", "df").collect()
-        ):
-            out[r.term] = out.get(r.term, 0) + int(r.df)
-    if legacy:
-        posts = None
-        for seg in legacy:
-            d = spark.read.parquet(store.postings_path(seg.segment_id)).where(
-                F.col("term").isin(terms)
+        if kind == "prefix":
+            d = d.where(F.col("term").startswith(value))
+        elif kind == "wildcard":
+            pat = value.replace("*", ".*").replace("?", ".")
+            d = d.where(F.col("term").rlike(f"^{pat}$"))
+        elif kind == "regexp":
+            d = d.where(F.col("term").rlike(f"^{value}$"))
+        elif kind == "fuzzy":
+            val, fz = value
+            d = d.where(F.levenshtein(F.col("term"), F.lit(val)) <= fz)
+        else:
+            raise ValueError(kind)
+        out.update(r.term for r in d.select("term").collect())
+    terms = sorted(out)
+    if max_expansions is not None:
+        terms = terms[:max_expansions]
+    return terms
+
+
+# ------------------------------------------------------------------ lowering
+class _Lowerer:
+    """ES query dict -> (score tree, channels). Runs tiny stats jobs (term
+    dictionary point reads, keyword df counts) exactly where ES's query
+    rewrite/Weight creation consults the terms dict and doc values."""
+
+    def __init__(self, spark, store, snap, docs: DataFrame):
+        self.spark, self.store, self.snap, self.docs = spark, store, snap, docs
+        self.channels: list[Channel] = []
+
+    def chan(self, expr: str, mode: str, ub: float = float("inf")) -> int:
+        fid = len(self.channels)
+        self.channels.append(Channel(fid, expr, mode, ub))
+        return fid
+
+    # -- predicate SQL for filter-context leaves (doc-values path)
+    def pred_sql(self, q: dict) -> str:
+        from ..plans.query_dsl import normalize_query
+
+        q = normalize_query(q)
+        (lk, lb), = q.items()
+        if lk == "term":
+            (f_, v), = lb.items()
+            v = v["value"] if isinstance(v, dict) else v
+            lit = f"'{v}'" if isinstance(v, str) else str(v)
+            return f"{f_} = {lit}"
+        if lk == "terms":
+            (f_, vs), = lb.items()
+            lits = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in vs)
+            return f"{f_} IN ({lits})"
+        if lk == "range":
+            (f_, spec_), = lb.items()
+            ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+            return " AND ".join(
+                f"{f_} {ops[o]} {chr(39) + v + chr(39) if isinstance(v, str) else repr(v)}"
+                for o, v in spec_.items()
+                if o in ops
             )
-            posts = d if posts is None else posts.unionByName(d)
-        for t, df_ in global_term_stats(posts).items():
-            out[t] = out.get(t, 0) + df_
-    return out
+        if lk == "exists":
+            return f"{lb['field']} IS NOT NULL"
+        if lk == "ids":
+            idc = "concat_ws('#', cast(conv_id as string), cast(turn_idx as string))"
+            lits = ", ".join(f"'{v}'" for v in lb["values"])
+            return f"{idc} IN ({lits})"
+        if lk == "match_all":
+            return "true"
+        if lk == "match_none":
+            return "false"
+        raise ValueError(f"indexed path cannot lower predicate: {lk}")
+
+    def keyword_idf_leaf(self, col: str, values: list) -> ChannelLeaf:
+        """term/terms in scoring context: score = idf(doc's value) on a
+        norms-less keyword field (query_dsl._keyword_idf_scored twin). df per
+        value comes from one pushdown-count job (the TermStates lookup)."""
+        rows = (
+            self.docs.where(F.col(col).isin(values))
+            .groupBy(col).agg(F.count(F.lit(1)).alias("df")).collect()
+        )
+        n = self.snap.n_docs
+        dfs = {r[0]: int(r[1]) for r in rows}
+        if len(values) == 1:
+            v = values[0]
+            idf = math.log(1.0 + (n - dfs.get(v, 0) + 0.5) / (dfs.get(v, 0) + 0.5))
+            lit = f"'{v}'" if isinstance(v, str) else str(v)
+            fid = self.chan(f"case when {col} = {lit} then 1.0 end", "allow")
+            return ChannelLeaf(fid, const=idf)
+        arms = []
+        ub = 0.0
+        for v in values:
+            idf = math.log(1.0 + (n - dfs.get(v, 0) + 0.5) / (dfs.get(v, 0) + 0.5))
+            ub = max(ub, idf)
+            lit = f"'{v}'" if isinstance(v, str) else str(v)
+            arms.append(f"when {col} = {lit} then cast({idf!r} as double)")
+        fid = self.chan("case " + " ".join(arms) + " end", "value", ub=ub)
+        return ChannelLeaf(fid, const=None)
+
+    def match_leaf(self, body: dict) -> TermsLeaf:
+        (field_, spec), = body.items()
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        if field_ not in INDEXED_FIELDS:
+            raise ValueError(f"field {field_} has no postings (indexed: {INDEXED_FIELDS})")
+        # zero analyzed terms => never matches (zero_terms_query NONE): a
+        # TermsLeaf with no terms has need=1 unreachable, so it prunes clean
+        terms = list(dict.fromkeys(analysis.analyze(spec["query"])))
+        op = spec.get("operator", "or").lower()
+        need = len(terms) if op == "and" else int(spec.get("minimum_should_match") or 1)
+        return TermsLeaf(field=field_, terms=terms, need=need)
+
+    def phrase_leaf(self, body: dict, prefix: bool = False):
+        (field_, spec), = body.items()
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        if field_ not in INDEXED_FIELDS:
+            raise ValueError(f"field {field_} has no postings")
+        qterms = analysis.analyze(spec["query"])
+        if not prefix or not qterms:
+            return PhraseLeaf(field=field_, terms=qterms)
+        lead, pref = qterms[:-1], qterms[-1]
+        exps = expand_terms(self.spark, self.store, self.snap, field_, "prefix", pref)
+        return PhraseLeaf(field=field_, terms=lead, prefix_expansions=exps)
+
+    def expansion_leaf(self, field_: str, kind: str, value) -> object:
+        if field_ in INDEXED_FIELDS:
+            exps = expand_terms(self.spark, self.store, self.snap, field_, kind, value)
+            return TermsLeaf(field=field_, terms=exps, need=1, const_score=1.0)
+        # keyword field: token-set test degenerates to a whole-value test only
+        # for exact kinds; lower via SQL where expressible
+        if kind == "prefix":
+            fid = self.chan(f"case when {field_} like '{value}%' then 1.0 end", "allow")
+            return ChannelLeaf(fid, const=1.0)
+        raise ValueError(f"{kind} on non-indexed field {field_}")
+
+    def mlt_leaf(self, body: dict) -> object:
+        """more_like_this: liked docs fetched by id (point read), salient
+        terms = top max_query_terms by tf*idf with df from the term
+        dictionary (MoreLikeThisQueryBuilder's coordinator-side term
+        selection); runs as an OR TermsLeaf with % msm, liked ids excluded."""
+        from collections import Counter
+
+        field_ = (body.get("fields") or ["text"])[0]
+        like = body["like"] if isinstance(body["like"], list) else [body["like"]]
+        mqt = int(body.get("max_query_terms", 25))
+        mtf = int(body.get("min_term_freq", 2))
+        mdf = int(body.get("min_doc_freq", 5))
+        msm_raw = body.get("minimum_should_match", "30%")
+        like_ids = [x["_id"] for x in like if isinstance(x, dict)]
+        like_texts = [x for x in like if isinstance(x, str)]
+        idc = F.concat_ws("#", F.col("conv_id").cast("string"), F.col("turn_idx").cast("string"))
+        if like_ids:
+            rows = self.docs.where(idc.isin(like_ids)).select(field_).collect()
+            like_texts += [r[0] for r in rows]
+        tf = Counter()
+        for t in like_texts:
+            tf.update(analysis.analyze(t))
+        cand = sorted(t for t, c in tf.items() if c >= mtf)
+        if not cand:
+            raise ValueError("more_like_this: no candidate terms")
+        dfs = term_stats_lookup(
+            self.spark, self.store, self.snap, [(field_, t) for t in cand]
+        )
+        n = self.snap.n_docs
+        scored_terms = []
+        for t in cand:
+            df_t = dfs.get((field_, t), 0)
+            if df_t < mdf:
+                continue
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            scored_terms.append((-tf[t] * idf, t))
+        sel = [t for _, t in sorted(scored_terms)[:mqt]]
+        if not sel:
+            raise ValueError("more_like_this: no selected terms")
+        if isinstance(msm_raw, str) and msm_raw.endswith("%"):
+            need = max(1, int(len(sel) * int(msm_raw[:-1]) / 100.0))
+        else:
+            need = int(msm_raw)
+        leaf = TermsLeaf(field=field_, terms=sel, need=need)
+        if not like_ids:
+            return leaf
+        lits = ", ".join(f"'{v}'" for v in like_ids)
+        ex = (
+            "concat_ws('#', cast(conv_id as string), cast(turn_idx as string)) "
+            f"IN ({lits})"
+        )
+        fid = self.chan(f"case when {ex} then 1.0 end", "allow")
+        return BoolNode(must=[leaf], must_not=[ChannelLeaf(fid, const=1.0)])
+
+    def function_value_sql(self, functions: list, score_mode: str) -> tuple[str, bool]:
+        """Compile the functions list to one SQL expression (the combined
+        function value; query_dsl._function_score twin). Returns (sql, total)
+        where total means the expression is defined for every doc."""
+        parts = []
+        for fn in functions:
+            if "weight" in fn and not ({"field_value_factor", "script_score"} & fn.keys()):
+                val = repr(float(fn["weight"]))
+            elif "field_value_factor" in fn:
+                fv = fn["field_value_factor"]
+                v = (
+                    f"coalesce(cast({fv['field']} as double), "
+                    f"cast({float(fv.get('missing', 1.0))!r} as double)) * "
+                    f"cast({float(fv.get('factor', 1.0))!r} as double)"
+                )
+                mod = fv.get("modifier", "none")
+                if mod == "log1p":
+                    v = f"log10(({v}) + 1.0)"  # ES log1p is log10(v+1)
+                elif mod == "sqrt":
+                    v = f"sqrt({v})"
+                elif mod != "none":
+                    raise ValueError(f"modifier {mod} unsupported")
+                val = f"({v}) * cast({float(fn.get('weight', 1.0))!r} as double)"
+            elif "script_score" in fn:
+                val = (
+                    f"(cast(({fn['script_score']['script']}) as double)) * "
+                    f"cast({float(fn.get('weight', 1.0))!r} as double)"
+                )
+            else:
+                raise ValueError(f"unsupported function: {list(fn)}")
+            if "filter" in fn:
+                ident = 1.0 if score_mode == "multiply" else 0.0
+                val = (
+                    f"case when {self.pred_sql(fn['filter'])} then ({val}) "
+                    f"else cast({ident!r} as double) end"
+                )
+            parts.append(f"({val})")
+        if score_mode in ("multiply", "sum"):
+            op = " * " if score_mode == "multiply" else " + "
+            sql = op.join(parts)
+        elif score_mode == "max":
+            sql = "greatest(" + ", ".join(parts) + ")"
+        elif score_mode == "min":
+            sql = "least(" + ", ".join(parts) + ")"
+        elif score_mode == "avg":
+            sql = "(" + " + ".join(parts) + f") / {float(len(parts))!r}"
+        else:
+            raise ValueError(score_mode)
+        return sql, True
+
+    # -- scoring-context lowering (mirrors query_dsl._scored_leaf/_compile)
+    def lower(self, q: dict) -> object:
+        from ..plans.query_dsl import normalize_query
+
+        q = normalize_query(q)
+        (kind, body), = q.items()
+        if kind == "match":
+            return self.match_leaf(body)
+        if kind == "match_phrase":
+            return self.phrase_leaf(body)
+        if kind == "match_phrase_prefix":
+            return self.phrase_leaf(body, prefix=True)
+        if kind in ("term", "terms"):
+            (col, v), = body.items()
+            vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
+            return self.keyword_idf_leaf(col, vals)
+        if kind in ("range", "exists", "ids", "match_all", "match_none"):
+            fid = self.chan(f"case when {self.pred_sql(q)} then 1.0 end", "allow")
+            return ChannelLeaf(fid, const=1.0)
+        if kind in ("prefix", "wildcard", "regexp"):
+            (col, v), = body.items()
+            v = v["value"] if isinstance(v, dict) else v
+            return self.expansion_leaf(col, kind, v)
+        if kind == "fuzzy":
+            (col, v), = body.items()
+            spec = v if isinstance(v, dict) else {"value": v}
+            return self.expansion_leaf(col, "fuzzy", (spec["value"], int(spec.get("fuzziness", 2))))
+        if kind == "constant_score":
+            inner = self.lower(body["filter"])
+            return ConstScoreNode(inner, float(body.get("boost", 1.0)))
+        if kind == "bool":
+            return self.lower_bool(body)
+        if kind == "dis_max":
+            qs = body.get("queries") or []
+            return DisMaxNode([self.lower(x) for x in qs], float(body.get("tie_breaker", 0.0)))
+        if kind == "boosting":
+            pos = self.lower(body["positive"])
+            fid = self.chan(
+                f"case when {self.pred_sql(body['negative'])} then 1.0 end", "allow"
+            )
+            return BoostingNode(pos, fid, float(body.get("negative_boost", 0.5)))
+        if kind == "function_score":
+            child = self.lower(body.get("query", {"match_all": {}}))
+            functions = body.get("functions", [])
+            if not functions:
+                return child
+            sql, _ = self.function_value_sql(functions, body.get("score_mode", "multiply"))
+            ub = self._expr_max(sql)
+            fid = self.chan(sql, "value", ub=ub)
+            return FuncScoreNode(child, fid, body.get("boost_mode", "multiply"))
+        if kind == "distance_feature":
+            f_, origin, pivot = body["field"], body["origin"], float(body["pivot"])
+            boost = float(body.get("boost", 1.0))
+            sql = (
+                f"case when {f_} is not null then cast({boost!r} as double) * "
+                f"cast({pivot!r} as double) / (cast({pivot!r} as double) + "
+                f"abs(cast({f_} as double) - cast({float(origin)!r} as double))) end"
+            )
+            fid = self.chan(sql, "value", ub=boost)
+            return ChannelLeaf(fid, const=None)
+        if kind == "terms_set":
+            (col, spec), = body.items()
+            if col not in INDEXED_FIELDS:
+                raise ValueError(f"terms_set on non-indexed field {col}")
+            terms = [t.lower() for t in spec["terms"]]
+            msm_expr = spec.get("minimum_should_match_field") or spec.get(
+                "minimum_should_match_script"
+            )
+            ub = self._expr_max(f"cast(({msm_expr}) as double)")
+            fid = self.chan(f"cast(({msm_expr}) as double)", "value", ub=ub)
+            return TermsLeaf(field=col, terms=list(dict.fromkeys(terms)), need_fid=fid)
+        if kind == "more_like_this":
+            return self.mlt_leaf(body)
+        raise ValueError(f"indexed path cannot lower: {kind}")
+
+    def _expr_max(self, sql: str) -> float:
+        r = self.docs.agg(F.max(F.expr(sql))).first()[0]
+        return float(r) if r is not None else 0.0
+
+    def lower_bool(self, body: dict) -> BoolNode:
+        def as_list(x):
+            return [] if x is None else (x if isinstance(x, list) else [x])
+
+        node = BoolNode()
+        for q in as_list(body.get("must")):
+            node.must.append(self.lower(q))
+        for q in as_list(body.get("filter")):
+            try:
+                pred = self.pred_sql(q)
+                node.filter_fids.append(self.chan(f"case when {pred} then 1.0 end", "allow"))
+            except ValueError:
+                # analyzed clause in filter context: matches, contributes 0
+                node.must.append(ConstScoreNode(self.lower(q), 0.0))
+        for q in as_list(body.get("must_not")):
+            try:
+                pred = self.pred_sql(q)
+                # SQL tri-state parity with the logical path: candidates must
+                # satisfy NOT(pred) being TRUE (docs where pred is NULL drop)
+                node.filter_fids.append(
+                    self.chan(f"case when not ({pred}) then 1.0 end", "allow")
+                )
+            except ValueError:
+                node.must_not.append(self.lower(q))
+        should = as_list(body.get("should"))
+        msm = body.get("minimum_should_match")
+        has_anchor = bool(body.get("must") or body.get("filter"))
+        node.msm = int(msm) if msm is not None else (0 if has_anchor else 1)
+        for q in should:
+            node.should.append(self.lower(q))
+        if not (node.must or node.should or node.must_not or node.filter_fids):
+            raise ValueError("empty bool lowers to match_all (docs-only)")
+        return node
 
 
-def _make_kernel(spec: KernelSpec):
-    """Build the cogrouped-Arrow kernel closure. Pure numpy inside."""
+# ------------------------------------------------------- tree introspection
+def _tree_children(node) -> list:
+    if isinstance(node, BoolNode):
+        return node.must + node.should + node.must_not
+    if isinstance(node, DisMaxNode):
+        return node.children
+    if isinstance(node, (ConstScoreNode, FuncScoreNode)):
+        return [node.child]
+    if isinstance(node, BoostingNode):
+        return [node.positive]
+    return []
+
+
+def _collect_ft(node, out: set, phrases: set):
+    if isinstance(node, TermsLeaf):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, PhraseLeaf):
+        fts = {(node.field, t) for t in node.terms}
+        if node.prefix_expansions is not None:
+            fts |= {(node.field, t) for t in node.prefix_expansions}
+        out.update(fts)
+        phrases.update(fts)
+    for c in _tree_children(node):
+        _collect_ft(c, out, phrases)
+
+
+def _anchored(node) -> bool:
+    """True iff every match of `node` requires >= 1 postings-leaf hit, so the
+    kernel candidate set (docs appearing in the query terms' postings) is
+    complete. Non-anchored trees run the docs-only plan."""
+    if isinstance(node, (TermsLeaf, PhraseLeaf)):
+        return True
+    if isinstance(node, ChannelLeaf):
+        return False
+    if isinstance(node, BoolNode):
+        if any(_anchored(c) for c in node.must):
+            return True
+        return node.msm >= 1 and bool(node.should) and all(
+            _anchored(c) for c in node.should
+        )
+    if isinstance(node, DisMaxNode):
+        return bool(node.children) and all(_anchored(c) for c in node.children)
+    if isinstance(node, (ConstScoreNode, FuncScoreNode)):
+        return _anchored(node.child)
+    if isinstance(node, BoostingNode):
+        return _anchored(node.positive)
+    raise TypeError(type(node))
+
+
+def lower_query(spark, store, snap, docs: DataFrame, query: dict):
+    """Lower an ES query dict to a KernelPlan (postings-anchored) or a
+    DocsPlan (pure doc-values). Raises ValueError for shapes neither plan can
+    express (those run the logical path)."""
+    lw = _Lowerer(spark, store, snap, docs)
+    tree = lw.lower(query)
+    if _anchored(tree):
+        fts: set = set()
+        phrases: set = set()
+        _collect_ft(tree, fts, phrases)
+        return KernelPlan(tree, lw.channels, sorted(fts), phrases)
+    return DocsPlan(tree, lw.channels)
+
+
+# -------------------------------------------------------------- the kernel
+def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
+    """Build the cogrouped-Arrow kernel closure. Pure numpy inside.
+
+    chan_info: {fid: (mode, ub)} for allow/value channels (DENY_FID = deletes).
+    """
     import numpy as np
 
     k1, b = scoring.K1, scoring.B
-    decode_tbl = np.array([scoring.byte4_to_int(x) for x in range(256)], dtype=np.float64)
-    term_entries: dict[str, list[tuple[int, float]]] = {}
-    for gi, g in enumerate(spec.groups):
-        for t in g.terms:
-            w = spec.weights.get(t, 0.0) if g.weighted else 0.0
-            term_entries.setdefault(t, []).append((gi, w))
-    needs = np.array([g.need for g in spec.groups], dtype=np.int64)
-    forb = np.array([g.forbidden for g in spec.groups], dtype=bool)
-    n_groups = len(spec.groups)
-    avgdl, k = spec.avgdl, spec.k
     kp1 = k1 + 1.0
-    phrases = spec.phrases or []
-    phrase_terms = sorted({t for p in phrases for t in p.terms})
+    decode_tbl = np.array([scoring.byte4_to_int(x) for x in range(256)], dtype=np.float64)
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         from elasticsearch_spark.functions.codec import delta_decode, varbyte_decode
 
+        empty = pd.DataFrame({"segment": [], "ordinal": [], "score": []}).astype(
+            {"segment": str, "ordinal": "int64", "score": "float64"}
+        )
         if left.empty:
-            return pd.DataFrame({"segment": [], "ordinal": [], "score": []}).astype(
-                {"segment": str, "ordinal": "int64", "score": "float64"}
-            )
+            return empty
         segment = left["segment"].iloc[0]
-        has_allow = bool((right["kind"] == "allow").any()) if len(right) else False
-        allow = (
-            np.sort(right.loc[right["kind"] == "allow", "ordinal"].to_numpy(dtype=np.int64))
-            if has_allow
-            else None
-        )
-        deny_rows = right.loc[right["kind"] == "deny", "ordinal"] if len(right) else None
-        deny = (
-            np.sort(deny_rows.to_numpy(dtype=np.int64))
-            if deny_rows is not None and len(deny_rows)
-            else None
-        )
 
-        # ---- block-level upper bounds on the shared bk grid
-        mtf = left["max_tf"].to_numpy(dtype=np.float64)
-        mdl = left["min_dlq"].to_numpy(dtype=np.float64)
-        w_row = np.array(
-            [sum(w for _, w in term_entries.get(t, [])) for t in left["term"]],
-            dtype=np.float64,
-        )
-        row_ub = w_row * kp1 * mtf / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+        chan_ord: dict[int, np.ndarray] = {}
+        chan_val: dict[int, np.ndarray] = {}
+        if len(right):
+            fids = right["fid"].to_numpy(dtype=np.int64)
+            ords_r = right["ordinal"].to_numpy(dtype=np.int64)
+            vals_r = right["val"].to_numpy(dtype=np.float64)
+            for fid in np.unique(fids):
+                m = fids == fid
+                o, v = ords_r[m], vals_r[m]
+                si = np.argsort(o)
+                chan_ord[int(fid)] = o[si]
+                chan_val[int(fid)] = v[si]
+        deny = chan_ord.get(DENY_FID)
+
+        # ---- group postings rows by bk; per-(field,term) block bound data
         bks = left["bk"].to_numpy(dtype=np.int64)
-        uniq_bks, inv = np.unique(bks, return_inverse=True)
-        bk_ub = np.zeros(len(uniq_bks))
-        np.add.at(bk_ub, inv, row_ub)
+        by_bk: dict[int, list[int]] = {}
+        for i, bkv in enumerate(bks):
+            by_bk.setdefault(int(bkv), []).append(i)
 
-        order = np.argsort(-bk_ub, kind="stable")
+        flds = left["field"].to_numpy(dtype=object)
+        terms_a = left["term"].to_numpy(dtype=object)
+        mtf_a = left["max_tf"].to_numpy(dtype=np.float64)
+        mdl_a = left["min_dlq"].to_numpy(dtype=np.float64)
+
+        def block_present(rows):
+            pres = {}
+            for ri in rows:
+                ft = (flds[ri], terms_a[ri])
+                w = weights.get(ft, 0.0)
+                ad = avgdl.get(flds[ri], 1.0)
+                ub_t = w * kp1 * mtf_a[ri] / (
+                    mtf_a[ri] + k1 * (1.0 - b + b * mdl_a[ri] / ad)
+                )
+                pres[ft] = (ub_t, mtf_a[ri], mdl_a[ri])
+            return pres
+
+        def node_bound(node, pres):
+            """(possible, upper bound) of `node` within a block."""
+            if isinstance(node, TermsLeaf):
+                hit = [pres[(node.field, t)] for t in node.terms if (node.field, t) in pres]
+                # a doc's postings live wholly in its ordinal's block, so a
+                # block holding < need of the leaf's terms cannot match
+                need = 1 if node.need_fid is not None else max(node.need, 1)
+                if len(hit) < need:
+                    return False, 0.0
+                if node.const_score is not None:
+                    return True, node.const_score
+                return True, float(sum(h[0] for h in hit))
+            if isinstance(node, PhraseLeaf):
+                slots = [[t] for t in node.terms]
+                if node.prefix_expansions is not None:
+                    slots.append(list(node.prefix_expansions))
+                if not slots:
+                    return False, 0.0
+                m = np.inf
+                mindlq = np.inf
+                for slot in slots:
+                    best = 0.0
+                    for t in slot:
+                        h = pres.get((node.field, t))
+                        if h is not None:
+                            best = max(best, h[1])
+                            mindlq = min(mindlq, h[2])
+                    if best == 0.0:
+                        return False, 0.0
+                    m = min(m, best)
+                ad = avgdl.get(node.field, 1.0)
+                ub = node.weight * kp1 * m / (m + k1 * (1.0 - b + b * mindlq / ad))
+                return True, float(ub)
+            if isinstance(node, ChannelLeaf):
+                if node.const is not None:
+                    return True, node.const
+                return True, chan_info[node.fid][1]
+            if isinstance(node, BoolNode):
+                ub = 0.0
+                for c in node.must:
+                    p, u = node_bound(c, pres)
+                    if not p:
+                        return False, 0.0
+                    ub += u
+                sh = [node_bound(c, pres) for c in node.should]
+                n_poss = sum(1 for p, _ in sh if p)
+                if node.msm > 0 and n_poss < node.msm:
+                    return False, 0.0
+                ub += sum(u for p, u in sh if p)
+                return True, ub
+            if isinstance(node, DisMaxNode):
+                ubs = [u for p, u in (node_bound(c, pres) for c in node.children) if p]
+                if not ubs:
+                    return False, 0.0
+                mx, sm = max(ubs), sum(ubs)
+                return True, mx + node.tie * (sm - mx)
+            if isinstance(node, ConstScoreNode):
+                p, _ = node_bound(node.child, pres)
+                return p, node.boost
+            if isinstance(node, FuncScoreNode):
+                p, u = node_bound(node.child, pres)
+                if not p:
+                    return False, 0.0
+                fmax = max(chan_info[node.fid][1], 0.0)
+                if node.boost_mode == "multiply":
+                    return True, u * fmax
+                if node.boost_mode == "sum":
+                    return True, u + fmax
+                return True, fmax  # replace
+            if isinstance(node, BoostingNode):
+                p, u = node_bound(node.positive, pres)
+                return p, u * max(1.0, node.negative_boost)
+            raise TypeError(type(node))
+
+        uniq_bks = sorted(by_bk)
+        bounds = []
+        pres_by_bk = {}
+        for bkv in uniq_bks:
+            pres = block_present(by_bk[bkv])
+            pres_by_bk[bkv] = pres
+            possible, ub = node_bound(spec_tree, pres)
+            bounds.append(ub if possible else -1.0)
+        bound_arr = np.array(bounds)
+        order = np.argsort(-bound_arr, kind="stable")
+
+        def chan_presence(fid, docs_u):
+            co = chan_ord.get(fid)
+            if co is None:
+                return np.zeros(len(docs_u), dtype=bool)
+            pos = np.searchsorted(co, docs_u)
+            return (pos < len(co)) & (co[np.minimum(pos, len(co) - 1)] == docs_u)
+
+        def chan_value(fid, docs_u, default=np.nan):
+            co = chan_ord.get(fid)
+            out = np.full(len(docs_u), default, dtype=np.float64)
+            if co is None:
+                return out
+            pos = np.searchsorted(co, docs_u)
+            ok = (pos < len(co)) & (co[np.minimum(pos, len(co) - 1)] == docs_u)
+            out[ok] = chan_val[fid][np.minimum(pos, len(co) - 1)][ok]
+            return out
+
+        def eval_node(node, env, docs_u):
+            n = len(docs_u)
+            if isinstance(node, TermsLeaf):
+                cnt = np.zeros(n, dtype=np.int64)
+                score = np.zeros(n)
+                for t in node.terms:
+                    e = env.get((node.field, t))
+                    if e is None:
+                        continue
+                    ii = np.searchsorted(docs_u, e[0])
+                    cnt[ii] += 1
+                    if node.const_score is None:
+                        score[ii] += weights.get((node.field, t), 0.0) * e[1]
+                if node.need_fid is not None:
+                    needv = chan_value(node.need_fid, docs_u, default=np.inf)
+                    match = cnt >= np.maximum(needv, 1.0)
+                else:
+                    match = cnt >= max(node.need, 1)
+                if node.const_score is not None:
+                    score = np.where(match, node.const_score, 0.0)
+                return match, score
+            if isinstance(node, PhraseLeaf):
+                slots = [[t] for t in node.terms]
+                if node.prefix_expansions is not None:
+                    slots.append(list(node.prefix_expansions))
+                if not slots:
+                    return np.zeros(n, dtype=bool), np.zeros(n)
+                surv = None
+                for i, slot in enumerate(slots):
+                    keys = [env[(node.field, t)][3] for t in slot if (node.field, t) in env]
+                    keys = [kk for kk in keys if kk is not None and len(kk)]
+                    if not keys:
+                        return np.zeros(n, dtype=bool), np.zeros(n)
+                    kcat = keys[0] if len(keys) == 1 else np.concatenate(keys)
+                    if surv is None:
+                        surv = np.unique(kcat)
+                    else:
+                        surv = np.intersect1d(surv + 1, kcat, assume_unique=False)
+                    if not len(surv):
+                        return np.zeros(n, dtype=bool), np.zeros(n)
+                pdocs, pf = np.unique(surv >> _POS_SHIFT, return_counts=True)
+                # dlq per matched doc from the first slot's postings
+                dlq = np.full(len(pdocs), np.nan)
+                for t in slots[0]:
+                    e = env.get((node.field, t))
+                    if e is None:
+                        continue
+                    pos = np.searchsorted(e[0], pdocs)
+                    ok = (pos < len(e[0])) & (e[0][np.minimum(pos, len(e[0]) - 1)] == pdocs)
+                    dlq[ok] = e[2][np.minimum(pos, len(e[0]) - 1)][ok]
+                ad = avgdl.get(node.field, 1.0)
+                norm = k1 * (1.0 - b + b * dlq / ad)
+                sc = node.weight * kp1 * pf / (pf + norm)
+                match = np.zeros(n, dtype=bool)
+                score = np.zeros(n)
+                ii = np.searchsorted(docs_u, pdocs)
+                match[ii] = True
+                score[ii] = sc
+                return match, score
+            if isinstance(node, ChannelLeaf):
+                m = chan_presence(node.fid, docs_u)
+                if node.const is not None:
+                    return m, np.where(m, node.const, 0.0)
+                v = chan_value(node.fid, docs_u)
+                return m, np.where(m, v, 0.0)
+            if isinstance(node, BoolNode):
+                match = np.ones(n, dtype=bool)
+                score = np.zeros(n)
+                for c in node.must:
+                    m, s = eval_node(c, env, docs_u)
+                    match &= m
+                    score += np.where(m, s, 0.0)
+                for fid in node.filter_fids:
+                    match &= chan_presence(fid, docs_u)
+                if node.should:
+                    cnt = np.zeros(n, dtype=np.int64)
+                    for c in node.should:
+                        m, s = eval_node(c, env, docs_u)
+                        cnt += m
+                        score += np.where(m, s, 0.0)
+                    if node.msm > 0:
+                        match &= cnt >= node.msm
+                for c in node.must_not:
+                    m, _ = eval_node(c, env, docs_u)
+                    match &= ~m
+                return match, score
+            if isinstance(node, DisMaxNode):
+                match = np.zeros(n, dtype=bool)
+                smax = np.full(n, -np.inf)
+                ssum = np.zeros(n)
+                for c in node.children:
+                    m, s = eval_node(c, env, docs_u)
+                    match |= m
+                    sm = np.where(m, s, -np.inf)
+                    smax = np.maximum(smax, sm)
+                    ssum += np.where(m, s, 0.0)
+                score = np.where(match, smax + node.tie * (ssum - smax), 0.0)
+                return match, score
+            if isinstance(node, ConstScoreNode):
+                m, _ = eval_node(node.child, env, docs_u)
+                return m, np.where(m, node.boost, 0.0)
+            if isinstance(node, FuncScoreNode):
+                m, s = eval_node(node.child, env, docs_u)
+                v = chan_value(node.fid, docs_u)
+                if node.boost_mode == "multiply":
+                    s = s * v
+                elif node.boost_mode == "sum":
+                    s = s + v
+                elif node.boost_mode == "replace":
+                    s = v
+                else:
+                    raise ValueError(node.boost_mode)
+                return m, np.where(m, s, 0.0)
+            if isinstance(node, BoostingNode):
+                m, s = eval_node(node.positive, env, docs_u)
+                demote = chan_presence(node.neg_fid, docs_u)
+                return m, np.where(demote, s * node.negative_boost, s)
+            raise TypeError(type(node))
+
         cand_ord: list[np.ndarray] = []
         cand_score: list[np.ndarray] = []
         theta = -np.inf
         n_kept = 0
 
-        by_bk: dict[int, list[int]] = {}
-        for i, bkv in enumerate(bks):
-            by_bk.setdefault(int(bkv), []).append(i)
-
         for oi in order:
-            if not phrases and n_kept >= k and bk_ub[oi] < theta:
-                break  # block-max prune: no remaining block can enter top-k
-                # (disabled under phrase clauses: phrase freq has no block
-                # bound in the metadata, so every block must be verified)
-            rows = by_bk[int(uniq_bks[oi])]
-            ords_l, score_l, gid_l = [], [], []
-            pos_map: dict[str, dict] = {t: {} for t in phrase_terms}
-            for ri in rows:
+            if bound_arr[oi] < 0.0:
+                break  # impossible blocks sort last
+            if n_kept >= k and bound_arr[oi] < theta:
+                break  # block-max prune: no remaining block can reach top-k
+            bkv = uniq_bks[oi]
+            env: dict[tuple[str, str], tuple] = {}
+            for ri in by_bk[bkv]:
+                ft = (flds[ri], terms_a[ri])
                 r = left.iloc[ri]
                 ords = delta_decode(r["docs"])
                 tfs_i = varbyte_decode(r["tfs"]).astype(np.int64)
                 tfs = tfs_i.astype(np.float64)
                 dlq = decode_tbl[np.frombuffer(r["norms"], dtype=np.uint8)]
-                tfn = kp1 * tfs / (tfs + k1 * (1.0 - b + b * dlq / avgdl))
-                for gi, w in term_entries.get(r["term"], []):
-                    ords_l.append(ords)
-                    score_l.append(w * tfn)
-                    gid_l.append(np.full(len(ords), gi, dtype=np.int64))
-                if r["term"] in pos_map:
-                    # reconstruct per-posting absolute positions from the
-                    # concatenated delta stream (posting heads are absolute)
+                ad = avgdl.get(flds[ri], 1.0)
+                tfn = kp1 * tfs / (tfs + k1 * (1.0 - b + b * dlq / ad))
+                occ_keys = None
+                if ft in phrase_fts:
+                    # absolute positions from the concatenated delta stream
                     d = varbyte_decode(r["poss"]).astype(np.int64)
                     cs = np.cumsum(d)
-                    starts_p = np.concatenate([[0], np.cumsum(tfs_i)[:-1]])
-                    base = np.concatenate([[0], cs[np.cumsum(tfs_i)[:-1] - 1]]) if len(tfs_i) > 1 else np.array([0])
-                    offs = np.repeat(base, tfs_i)
-                    pos_abs = cs - offs
-                    m = pos_map[r["term"]]
-                    for pi, o in enumerate(ords):
-                        sl = slice(starts_p[pi], starts_p[pi] + tfs_i[pi])
-                        m[int(o)] = (pos_abs[sl], float(dlq[pi]))
-            if not ords_l:
+                    if len(tfs_i) > 1:
+                        base = np.concatenate([[0], cs[np.cumsum(tfs_i)[:-1] - 1]])
+                    else:
+                        base = np.array([0])
+                    pos_abs = cs - np.repeat(base, tfs_i)
+                    occ_keys = (np.repeat(ords, tfs_i) << _POS_SHIFT) | pos_abs
+                env[ft] = (ords, tfn, dlq, occ_keys)
+            if not env:
                 continue
-            o = np.concatenate(ords_l)
-            s = np.concatenate(score_l)
-            g = np.concatenate(gid_l)
-            so = np.argsort(o, kind="stable")
-            o, s, g = o[so], s[so], g[so]
-            starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
-            docs_u = o[starts]
-            score_u = np.add.reduceat(s, starts)
-            ok = np.ones(len(docs_u), dtype=bool)
-            if n_groups:
-                for gi in range(n_groups):
-                    cnt = np.add.reduceat((g == gi).astype(np.int64), starts)
-                    if forb[gi]:
-                        ok &= cnt == 0
-                    elif needs[gi] > 0:
-                        ok &= cnt >= needs[gi]
-            if allow is not None:
-                pos = np.searchsorted(allow, docs_u)
-                ok &= (pos < len(allow)) & (allow[np.minimum(pos, len(allow) - 1)] == docs_u)
+            docs_u = np.unique(np.concatenate([e[0] for e in env.values()]))
+            match, score = eval_node(spec_tree, env, docs_u)
             if deny is not None:
                 pos = np.searchsorted(deny, docs_u)
-                ok &= ~((pos < len(deny)) & (deny[np.minimum(pos, len(deny) - 1)] == docs_u))
-            docs_u, score_u = docs_u[ok], score_u[ok]
-            if not len(docs_u):
+                hit = (pos < len(deny)) & (deny[np.minimum(pos, len(deny) - 1)] == docs_u)
+                match &= ~hit
+            if not match.any():
                 continue
-            if phrases:
-                keep = np.ones(len(docs_u), dtype=bool)
-                for ph in phrases:
-                    for di, doc in enumerate(docs_u):
-                        if not keep[di]:
-                            continue
-                        entry = pos_map.get(ph.terms[0], {}).get(int(doc))
-                        if entry is None:
-                            keep[di] = False
-                            continue
-                        cand, dlq_d = entry
-                        for i, t in enumerate(ph.terms[1:], start=1):
-                            nxt = pos_map.get(t, {}).get(int(doc))
-                            if nxt is None:
-                                cand = cand[:0]
-                                break
-                            cand = cand[np.isin(cand + i, nxt[0])]
-                        pf = len(cand)
-                        if pf == 0:
-                            keep[di] = False
-                        else:
-                            norm_d = k1 * (1.0 - b + b * dlq_d / avgdl)
-                            score_u[di] += ph.weight * kp1 * pf / (pf + norm_d)
-                docs_u, score_u = docs_u[keep], score_u[keep]
-                if not len(docs_u):
-                    continue
-            cand_ord.append(docs_u)
-            cand_score.append(score_u)
-            n_kept += len(docs_u)
+            docs_m, score_m = docs_u[match], score[match]
+            cand_ord.append(docs_m)
+            cand_score.append(score_m)
+            n_kept += len(docs_m)
             if n_kept >= k:
                 allsc = np.concatenate(cand_score)
                 if len(allsc) >= k:
                     theta = np.partition(allsc, -k)[-k]
 
         if not cand_ord:
-            return pd.DataFrame({"segment": [], "ordinal": [], "score": []}).astype(
-                {"segment": str, "ordinal": "int64", "score": "float64"}
-            )
+            return empty
         o = np.concatenate(cand_ord)
         s = np.concatenate(cand_score)
         # local top-k with deterministic tie-break (ordinal asc == key asc)
@@ -309,17 +987,12 @@ def _make_kernel(spec: KernelSpec):
     return kernel
 
 
-def run_kernel(
-    postings: DataFrame,
-    extras: DataFrame,
-    spec: KernelSpec,
-) -> DataFrame:
-    """Cogroup postings + allow/deny rows by (segment, bucket), run the kernel."""
+def run_kernel(postings: DataFrame, extras: DataFrame, kernel) -> DataFrame:
+    """Cogroup postings + channel rows by (segment, bucket), run the kernel."""
     pb = postings.withColumn("bucket", (F.col("bk") / BUCKET_BLOCKS).cast("int"))
     eb = extras.withColumn(
         "bucket", (F.col("ordinal") / (BLOCK_RANGE * BUCKET_BLOCKS)).cast("int")
     )
-    kernel = _make_kernel(spec)
     return (
         pb.groupBy("segment", "bucket")
         .cogroup(eb.groupBy("segment", "bucket"))
@@ -327,128 +1000,105 @@ def run_kernel(
     )
 
 
-@dataclass
-class IndexedQuery:
-    """match / match_phrase / limited-bool query lowered onto the index."""
-
-    groups: list[TermGroup] = field(default_factory=list)
-    filter_pred: str | None = None  # SQL over docs columns -> allow set
-    score_zero: bool = False
-    phrases: list[list[str]] = field(default_factory=list)
-
-
-def _phrase_terms(body) -> list[str]:
-    (field_, spec), = body.items()
-    if isinstance(spec, str):
-        spec = {"query": spec}
-    if field_ != "text":
-        raise ValueError("indexed path indexes the text field")
-    return analysis.analyze(spec["query"])
-
-
-def lower_query(query: dict) -> IndexedQuery:
-    """Lower a match / match_phrase / bool query dict to an IndexedQuery."""
-    (kind, body), = query.items()
-    if kind == "match_phrase":
-        qterms = _phrase_terms(body)
-        distinct = sorted(set(qterms))
-        return IndexedQuery(
-            groups=[TermGroup(terms=distinct, need=len(distinct), weighted=False)],
-            phrases=[qterms],
-        )
-    if kind == "match":
-        (field_, spec), = body.items()
-        if isinstance(spec, str):
-            spec = {"query": spec}
-        if field_ != "text":
-            raise ValueError("indexed path indexes the text field")
-        terms = list(dict.fromkeys(analysis.analyze(spec["query"])))
-        op = spec.get("operator", "or").lower()
-        need = len(terms) if op == "and" else int(spec.get("minimum_should_match") or 1)
-        return IndexedQuery(groups=[TermGroup(terms=terms, need=need)])
-    if kind == "bool":
-        iq = IndexedQuery()
-        preds: list[str] = []
-
-        def pred_sql(q: dict) -> str:
-            (lk, lb), = q.items()
-            if lk == "term":
-                (f_, v), = lb.items()
-                v = v["value"] if isinstance(v, dict) else v
-                lit = f"'{v}'" if isinstance(v, str) else str(v)
-                return f"{f_} = {lit}"
-            if lk == "terms":
-                (f_, vs), = lb.items()
-                lits = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in vs)
-                return f"{f_} IN ({lits})"
-            if lk == "range":
-                (f_, spec_), = lb.items()
-                ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
-                return " AND ".join(
-                    f"{f_} {ops[o]} {repr(v) if not isinstance(v, str) else chr(39) + v + chr(39)}"
-                    for o, v in spec_.items()
-                    if o in ops
+# --------------------------------------------------------------- execution
+def _channels_df(
+    spark: SparkSession, docs: DataFrame, channels: list[Channel],
+    del_df: DataFrame | None,
+) -> DataFrame:
+    """One docs scan emitting (segment, ordinal, fid, val) rows for every
+    channel (rows exist only where the expr is non-null — allow channels use
+    CASE WHEN pred THEN 1.0 END). Deletes ride fid = DENY_FID."""
+    parts = []
+    if channels:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(ch.fid).alias("fid"),
+                    F.expr(ch.expr).cast("double").alias("val"),
                 )
-            if lk == "exists":
-                return f"{lb['field']} IS NOT NULL"
-            raise ValueError(f"indexed path cannot lower predicate: {lk}")
+                for ch in channels
+            ]
+        )
+        ex = F.explode(F.filter(arr, lambda x: x["val"].isNotNull())).alias("c")
+        parts.append(
+            docs.select("segment", "ordinal", ex).select(
+                "segment", "ordinal", F.col("c.fid").alias("fid"), F.col("c.val").alias("val")
+            )
+        )
+    if del_df is not None:
+        parts.append(
+            del_df.select(
+                "segment", "ordinal", F.lit(DENY_FID).alias("fid"), F.lit(1.0).alias("val")
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], "segment string, ordinal long, fid int, val double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
-        def match_group(q: dict, need_override: int | None = None) -> TermGroup:
-            (f_, spec_), = q["match"].items()
-            if isinstance(spec_, str):
-                spec_ = {"query": spec_}
-            terms = list(dict.fromkeys(analysis.analyze(spec_["query"])))
-            op = spec_.get("operator", "or").lower()
-            need = len(terms) if op == "and" else int(spec_.get("minimum_should_match") or 1)
-            return TermGroup(terms=terms, need=need_override if need_override is not None else need)
 
-        def as_list(x):
-            return [] if x is None else (x if isinstance(x, list) else [x])
+def _empty_result(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "conv_id", "turn_idx", F.lit(0.0).alias("score")
+    ).where(F.lit(False))
 
-        for q in as_list(body.get("must")):
-            mk = next(iter(q))
-            if mk == "match_phrase":
-                qterms = _phrase_terms(q["match_phrase"])
-                distinct = sorted(set(qterms))
-                iq.groups.append(TermGroup(terms=distinct, need=len(distinct), weighted=False))
-                iq.phrases.append(qterms)
-            elif mk == "match":
-                iq.groups.append(match_group(q))
-            else:
-                raise ValueError("indexed-bool must clauses must be match/match_phrase")
-        for q in as_list(body.get("filter")):
-            preds.append(pred_sql(q))
-        for q in as_list(body.get("must_not")):
-            (lk, _), = q.items()
-            if lk == "match":
-                g = match_group(q)
-                iq.groups.append(TermGroup(terms=g.terms, need=0, forbidden=True, weighted=False))
-            else:
-                preds.append(f"NOT ({pred_sql(q)})")
-        should = as_list(body.get("should"))
-        msm = body.get("minimum_should_match")
-        has_anchor = bool(body.get("must") or body.get("filter"))
-        if should:
-            # lower each should clause as optional scoring; msm>0 over clauses
-            # is only supported for a single should clause or msm across terms
-            eff = int(msm) if msm is not None else (0 if has_anchor else 1)
-            if len(should) == 1:
-                g = match_group(should[0])
-                if eff == 0:
-                    g.need = 0
-                iq.groups.append(g)
-            else:
-                if eff > 1:
-                    raise ValueError("indexed path: multi-clause should msm>1 unsupported")
-                terms: list[str] = []
-                for q in should:
-                    terms.extend(match_group(q).terms)
-                iq.groups.append(TermGroup(terms=list(dict.fromkeys(terms)), need=eff))
-        if not iq.groups:
-            iq.score_zero = True
-        iq.filter_pred = " AND ".join(f"({p})" for p in preds) if preds else None
-        return iq
-    raise ValueError(f"indexed path cannot lower: {kind}")
+
+def _order_cols():
+    return [
+        F.round(F.col("score"), 6).desc(),
+        F.col("conv_id").asc(),
+        F.col("turn_idx").asc(),
+    ]
+
+
+def _docs_eval(node, channels: list[Channel]) -> tuple[Column, Column]:
+    """(match predicate, score) Columns for a docs-only tree."""
+    by_fid = {c.fid: c for c in channels}
+    if isinstance(node, ChannelLeaf):
+        ch = by_fid[node.fid]
+        e = F.expr(ch.expr)
+        if node.const is not None:
+            return e.isNotNull(), F.lit(float(node.const))
+        return e.isNotNull(), e.cast("double")
+    if isinstance(node, ConstScoreNode):
+        p, _ = _docs_eval(node.child, channels)
+        return p, F.lit(node.boost)
+    if isinstance(node, FuncScoreNode):
+        p, s = _docs_eval(node.child, channels)
+        v = F.expr(by_fid[node.fid].expr).cast("double")
+        if node.boost_mode == "multiply":
+            return p, s * v
+        if node.boost_mode == "sum":
+            return p, s + v
+        return p, v
+    if isinstance(node, BoostingNode):
+        p, s = _docs_eval(node.positive, channels)
+        neg = F.expr(by_fid[node.neg_fid].expr).isNotNull()
+        return p, F.when(neg, s * F.lit(node.negative_boost)).otherwise(s)
+    if isinstance(node, BoolNode):
+        pred = F.lit(True)
+        score = F.lit(0.0)
+        for c in node.must:
+            p, s = _docs_eval(c, channels)
+            pred = pred & p
+            score = score + s
+        for fid in node.filter_fids:
+            pred = pred & F.expr(by_fid[fid].expr).isNotNull()
+        if node.should:
+            cnt = F.lit(0)
+            for c in node.should:
+                p, s = _docs_eval(c, channels)
+                cnt = cnt + F.when(p, 1).otherwise(0)
+                score = score + F.when(p, s).otherwise(F.lit(0.0))
+            if node.msm > 0:
+                pred = pred & (cnt >= node.msm)
+        for c in node.must_not:
+            p, _ = _docs_eval(c, channels)
+            pred = pred & ~F.coalesce(p, F.lit(False))
+        return pred, score
+    raise ValueError(f"docs-only plan cannot express {type(node).__name__}")
 
 
 def search_indexed(
@@ -462,18 +1112,16 @@ def search_indexed(
     snap = store.snapshot(snapshot_id)
     if snap is None or not snap.segments:
         raise ValueError("empty index")
-    iq = lower_query(query)
-    terms = sorted({t for g in iq.groups for t in g.terms} | {t for p in iq.phrases for t in p})
-
-    n_docs, sum_dl = snap.n_docs, snap.sum_dl
-    avgdl = sum_dl / n_docs if n_docs else 1.0
-
     docs = read_segment_docs(spark, store, snap)
 
-    if iq.score_zero or not terms:
-        base = docs
-        if iq.filter_pred:
-            base = base.where(iq.filter_pred)
+    from ..plans.query_dsl import normalize_query
+
+    nq = normalize_query(query)
+    (kind, _), = nq.items()
+    if kind in ("match_all", "match_none") or (
+        kind == "bool" and not any(nq["bool"].get(x) for x in ("must", "filter", "should", "must_not"))
+    ):
+        base = docs if kind != "match_none" else docs.where(F.lit(False))
         base = _apply_deletes(spark, store, snap, base)
         return (
             base.select("conv_id", "turn_idx", F.lit(0.0).alias("score"))
@@ -481,53 +1129,58 @@ def search_indexed(
             .limit(k)
         )
 
-    postings = read_segment_postings(spark, store, snap, terms)
-    dfs = term_stats_lookup(spark, store, snap, terms)
-    weights = {
-        t: __import__("math").log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
-        for t in terms
-        if t in dfs
-    }
-    # drop groups' unknown terms (df=0 terms can never match)
-    for g in iq.groups:
-        g.terms = [t for t in g.terms if t in dfs]
-    live_groups = [g for g in iq.groups if g.terms or g.forbidden]
-    for g in live_groups:
-        if not g.forbidden and g.need > len(g.terms):
-            # an AND/msm group lost terms entirely absent from the corpus:
-            # no doc can satisfy it
-            return (
-                docs.select("conv_id", "turn_idx", F.lit(0.0).alias("score")).where(F.lit(False))
-            )
-
-    extras_parts = []
-    if iq.filter_pred:
-        extras_parts.append(
-            docs.where(iq.filter_pred).select(
-                "segment", "ordinal", F.lit("allow").alias("kind")
-            )
-        )
+    plan = lower_query(spark, store, snap, docs, nq)
     del_df = _deletes_df(spark, store, snap)
-    if del_df is not None:
-        extras_parts.append(del_df.select("segment", "ordinal", F.lit("deny").alias("kind")))
-    if extras_parts:
-        extras = extras_parts[0]
-        for p in extras_parts[1:]:
-            extras = extras.unionByName(p)
-    else:
-        extras = spark.createDataFrame([], "segment string, ordinal long, kind string")
 
-    phrase_groups = []
-    for pterms in iq.phrases:
-        if any(t not in dfs for t in pterms):
-            # a phrase term absent from the corpus: phrase can never match
-            return docs.select("conv_id", "turn_idx", F.lit(0.0).alias("score")).where(F.lit(False))
-        w = sum(weights[t] for t in sorted(set(pterms)))
-        phrase_groups.append(PhraseGroup(terms=pterms, weight=w))
-    spec = KernelSpec(
-        groups=live_groups, weights=weights, avgdl=avgdl, k=k, phrases=phrase_groups
-    )
-    local = run_kernel(postings, extras, spec)
+    if isinstance(plan, DocsPlan):
+        pred, score = _docs_eval(plan.tree, plan.channels)
+        base = docs.where(pred)
+        if del_df is not None:
+            base = base.join(del_df, ["segment", "ordinal"], "left_anti")
+        return (
+            base.select("conv_id", "turn_idx", score.alias("score"))
+            .orderBy(*_order_cols())
+            .limit(k)
+            .select("conv_id", "turn_idx", F.round(F.col("score"), 4).alias("score"))
+        )
+
+    n_docs = snap.n_docs
+    avgdl = {
+        f: (snap.field_sum_dl(f) / n_docs if n_docs else 1.0) for f in INDEXED_FIELDS
+    }
+    dfs = term_stats_lookup(spark, store, snap, plan.ft_pairs)
+    weights = {
+        ft: math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        for ft, dfv in dfs.items()
+    }
+    # bind phrase idf weights now that stats are known
+    def bind_weights(node):
+        if isinstance(node, PhraseLeaf):
+            if node.prefix_expansions is not None:
+                # match_phrase_prefix: idf over complete leading terms only
+                # (documented divergence, plans/query_dsl._match_phrase_prefix)
+                lead = sorted(set(node.terms))
+                node.weight = (
+                    sum(weights.get((node.field, t), 0.0) for t in lead) if lead else 1.0
+                )
+            else:
+                node.weight = sum(
+                    weights.get((node.field, t), 0.0) for t in sorted(set(node.terms))
+                )
+        for c in _tree_children(node):
+            bind_weights(c)
+
+    bind_weights(plan.tree)
+
+    live_ft = [ft for ft in plan.ft_pairs if ft in dfs]
+    if not live_ft:
+        return _empty_result(docs)
+    postings = read_segment_postings(spark, store, snap, live_ft)
+    extras = _channels_df(spark, docs, plan.channels, del_df)
+    chan_info = {ch.fid: (ch.mode, ch.ub) for ch in plan.channels}
+    kernel = _make_kernel(plan.tree, weights, avgdl, k, plan.phrase_fts, chan_info)
+    local = run_kernel(postings, extras, kernel)
+
     # FETCH PHASE (SearchPhaseController analog): the kernels return at most
     # buckets*k winners — collect that tiny set to the coordinator and
     # re-read ONLY their rows from the docs tables with an ordinal IN-filter
@@ -536,7 +1189,7 @@ def search_indexed(
     # full docs scan joined against k rows.
     winners = local.collect()
     if not winners:
-        return docs.select("conv_id", "turn_idx", F.lit(0.0).alias("score")).where(F.lit(False))
+        return _empty_result(docs)
     by_seg: dict[str, dict[int, float]] = {}
     for r in winners:
         by_seg.setdefault(r.segment, {})[int(r.ordinal)] = float(r.score)
@@ -558,7 +1211,7 @@ def search_indexed(
     )
     out = (
         fetched.join(scores, ["segment", "ordinal"])
-        .orderBy(F.round(F.col("score"), 6).desc(), F.col("conv_id").asc(), F.col("turn_idx").asc())
+        .orderBy(*_order_cols())
         .limit(k)
         .select("conv_id", "turn_idx", F.round(F.col("score"), 4).alias("score"))
     )
@@ -579,10 +1232,7 @@ def multi_store_search(
     uni = parts[0]
     for p in parts[1:]:
         uni = uni.unionByName(p)
-    return (
-        uni.orderBy(F.round(F.col("score"), 6).desc(), F.col("conv_id").asc(), F.col("turn_idx").asc())
-        .limit(k)
-    )
+    return uni.orderBy(*_order_cols()).limit(k)
 
 
 def _deletes_df(spark: SparkSession, store: SegmentStore, snap: Snapshot) -> DataFrame | None:

@@ -200,6 +200,55 @@ def _terms_set_sql(field: str, spec: dict, alias: str) -> tuple[str, str]:
     return ctes, alias
 
 
+def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
+    """Twin of plans/query_dsl._intervals (match source, constant score)."""
+    from .functions.analysis import analyze
+
+    (field, spec), = body.items()
+    src = spec["match"]
+    qterms = analyze(src["query"])
+    max_gaps = int(src.get("max_gaps", -1))
+    ordered = bool(src.get("ordered", False))
+    m = len(qterms)
+    t = _toks(field)
+
+    def pos(term: str) -> str:
+        # 0-based positions (1-based index i over the token list)
+        return (
+            f"list_transform(list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = {_sql_str(term)}), i -> i - 1)"
+        )
+
+    if m == 0:
+        cond = "false"
+    elif m == 1:
+        cond = f"len({pos(qterms[0])}) > 0"
+    elif ordered:
+        gap = "true" if max_gaps < 0 else f"pm - p0 - {m - 1} <= {max_gaps}"
+        inner = f"({gap.replace('pm', f'p{m-1}')})"
+        for i in range(m - 1, 0, -1):
+            inner = (
+                f"len(list_filter({pos(qterms[i])}, "
+                f"p{i} -> p{i} > p{i-1} AND {inner})) > 0"
+            )
+        cond = f"len(list_filter({pos(qterms[0])}, p0 -> {inner})) > 0"
+    elif m == 2:
+        gap = "true" if max_gaps < 0 else f"abs(a - b) - 1 <= {max_gaps}"
+        cond = (
+            f"len(list_filter({pos(qterms[0])}, a -> "
+            f"len(list_filter({pos(qterms[1])}, b -> a <> b AND {gap})) > 0)) > 0"
+        )
+    else:
+        raise ValueError("unordered intervals support arity <= 2")
+    c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 AS score
+  FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+  WHERE {cond}
+)"""
+    return c, a
+
+
 def _pred_sql(kind: str, body: dict) -> str:
     if kind == "term":
         (field, v), = body.items()
@@ -280,9 +329,13 @@ class _SqlGen:
                 f"\n{a} AS (SELECT conv_id, turn_idx, 1.0 AS score FROM transcripts WHERE {_pred_sql(kind, body)})"
             )
             return a
-        if kind in ("prefix", "wildcard", "fuzzy"):
+        if kind == "intervals":
+            c, a = _intervals_sql(body, a)
+            self.ctes.append(c)
+            return a
+        if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
             # multi-term queries: constant-score rewrite => 1.0 (default
-            # rewrite method, PrefixQueryBuilder et al.)
+            # rewrite method, PrefixQueryBuilder / RegexpQueryBuilder et al.)
             (field, v), = body.items()
             spec = v if isinstance(v, dict) else {"value": v}
             val = spec["value"]
@@ -292,6 +345,8 @@ class _SqlGen:
             elif kind == "wildcard":
                 pat = val.replace("*", ".*").replace("?", ".")
                 cond = f"regexp_matches(x, {_sql_str('^' + pat + '$')})"
+            elif kind == "regexp":
+                cond = f"regexp_matches(x, {_sql_str('^' + val + '$')})"
             else:
                 fz = int(spec.get("fuzziness", 2))
                 cond = f"levenshtein(x, {_sql_str(val)}) <= {fz}"

@@ -268,6 +268,15 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         v = v["value"] if isinstance(v, dict) else v
         pat = v.replace("*", ".*").replace("?", ".")
         return _multi_term(ctx, field, lambda t: t.rlike(f"^{pat}$"))
+    if kind == "regexp":
+        # regexp query (RegexpQueryBuilder.java, reg SearchModule.java:797):
+        # anchored whole-term regex over the token dictionary, constant-score
+        # multi-term rewrite. Lucene RegExp syntax's common core (literals,
+        # classes, ., *, +, ?, |, ()) coincides with Java/RE2 used here;
+        # Lucene extensions (~, #, interval <n-m>) are unsupported.
+        (field, v), = body.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return _multi_term(ctx, field, lambda t: t.rlike(f"^{v}$"))
     if kind == "fuzzy":
         (field, v), = body.items()
         spec = v if isinstance(v, dict) else {"value": v}
@@ -294,7 +303,67 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         return _function_score(ctx, body)
     if kind == "more_like_this":
         return _more_like_this(ctx, body)
+    if kind == "intervals":
+        return _intervals(ctx, body)
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _intervals(ctx: _Ctx, body: dict) -> Compiled:
+    """intervals query, `match` source (IntervalQueryBuilder.java +
+    IntervalsSourceProvider.java `match`, reg SearchModule.java:841): doc
+    matches when the analyzed terms occur within an interval of width
+    max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
+
+    Scoring divergence (documented): constant 1.0 per matching doc — Lucene
+    scores intervals by a 1/(1+slop) saturation over minimal interval freq
+    (IntervalScoreFunction); the oracle mirrors the constant. Ordered matching
+    supports any arity via nested position quantifiers; unordered is the
+    2-term pairwise form (ES any-order interval), arity > 2 unsupported.
+    """
+    (field, spec), = body.items()
+    src = spec["match"]
+    qterms = analysis.analyze(src["query"])
+    if not qterms:
+        return Compiled(predicate=F.lit(False))
+    max_gaps = int(src.get("max_gaps", -1))
+    ordered = bool(src.get("ordered", False))
+    m = len(qterms)
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
+
+    def positions(t: str):
+        # 0-based token positions of term t
+        return F.filter(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda i: F.element_at("toks", (i + 1).cast("int")) == F.lit(t),
+        )
+
+    if m == 1:
+        hit = F.size(positions(qterms[0])) > 0
+    elif ordered:
+        # exists p1 < p2 < ... < pm with pm - p1 - (m-1) <= max_gaps
+        def nest(i: int, prev, first):
+            ps = positions(qterms[i])
+            if i == m - 1:
+                cond = lambda p: (p > prev) & (
+                    F.lit(True) if max_gaps < 0 else (p - first - (m - 1) <= max_gaps)
+                )
+                return F.exists(ps, cond)
+            return F.exists(ps, lambda p: nest(i + 1, p, first))
+
+        hit = F.exists(positions(qterms[0]), lambda p: nest(1, p, p))
+    elif m == 2:
+        pa, pb = positions(qterms[0]), positions(qterms[1])
+        gap_ok = (
+            (lambda a, b: F.lit(True))
+            if max_gaps < 0
+            else (lambda a, b: F.abs(a - b) - 1 <= max_gaps)
+        )
+        hit = F.exists(pa, lambda a: F.exists(pb, lambda b: (a != b) & gap_ok(a, b)))
+    else:
+        raise ValueError("unordered intervals support arity <= 2")
+    scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))
+    return Compiled(scored=scored)
 
 
 def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:

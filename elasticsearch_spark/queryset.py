@@ -121,6 +121,23 @@ SEARCH_QUERIES: dict[str, dict] = {
             "negative_boost": 0.4,
         }
     },
+    "regexp_topk": {"regexp": {"text": "quer(y|ies)"}},
+    "exists_topk": {"exists": {"field": "tool"}},
+    "fuzzy_topk": {"fuzzy": {"text": {"value": "quary", "fuzziness": 1}}},
+    "simple_query_string_topk": {
+        "simple_query_string": {"query": '+table ("join" | scan)'}
+    },
+}
+
+# intervals queries (positions semantics; logical path only — registered as
+# search_* without an indexed_* twin, operators/topk lower_query raises)
+INTERVALS_QUERIES: dict[str, dict] = {
+    "intervals_ordered": {
+        "intervals": {"text": {"match": {"query": "join table", "ordered": True, "max_gaps": 2}}}
+    },
+    "intervals_unordered": {
+        "intervals": {"text": {"match": {"query": "scan filter", "max_gaps": 3}}}
+    },
 }
 
 # cursoring fixtures (operators/cursor.py): (sort_cols, after, size) etc.
