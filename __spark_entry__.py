@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from elasticsearch_spark import aggset, miscset, oracle, pipeset  # noqa: E402
+from elasticsearch_spark import aggset, handset, miscset, oracle, pipeset  # noqa: E402
 from elasticsearch_spark.plans import query_dsl as Q  # noqa: E402
 from elasticsearch_spark.operators import cursor  # noqa: E402
 from elasticsearch_spark.queryset import (  # noqa: E402
@@ -131,9 +131,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["highlight_match"] = _highlight
     for name, qd in INTERVALS_QUERIES.items():
         out[f"search_{name}"] = _search_fn(qd)
+
+    # new-in-round-2 breadth: front-load ahead of the (r01-verified) search_*
+    # and agg_* blocks so they land inside the driver gate's row budget
+    agg_fns = aggset.agg_query_fns()
+    for name in ("agg_auto_date_histogram", "agg_date_range", "agg_ip_range"):
+        out[name] = agg_fns[name]
+
+    def _terminate_after(spark, sf_dir):
+        from elasticsearch_spark.operators import cursor as C
+
+        store = _indexed_store(spark, sf_dir)
+        return C.terminate_after_scan(spark, store, "role = 'user'", 25)
+
+    out["terminate_after_scan"] = _terminate_after
+    out.update(handset.HAND_QUERY_FNS)
+
     for name, qd in SEARCH_QUERIES.items():
         out[f"search_{name}"] = _search_fn(qd)
-    out.update(aggset.agg_query_fns())
+    out.update(agg_fns)
     return out
 
 
@@ -165,4 +181,10 @@ def oracle_sql() -> dict[str, str]:
         hq, _an.analyze(hq["match"]["text"]), DEFAULT_K
     )
     out.update(miscset.MISC_ORACLE_SQL)
+    out.update(handset.HAND_ORACLE_SQL)
+    out["terminate_after_scan"] = (
+        oracle.TRANSCRIPTS_CTE
+        + "\nSELECT conv_id, turn_idx FROM transcripts WHERE role = 'user' "
+        "ORDER BY conv_id, turn_idx LIMIT 25"
+    )
     return out

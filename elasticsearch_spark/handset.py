@@ -1,0 +1,114 @@
+"""Hand-written-oracle fixtures: DuckDB SQL derived INDEPENDENTLY from the
+BM25/phrase specification (SURVEY.md §2.4 / reference
+index/similarity/SimilarityProviders.java:272-282), sharing no snippet
+generators with elasticsearch_spark.oracle.
+
+Purpose (closes the oracle-independence caveat in oracle.py:1-13): the
+generated oracle shares idf/norm SQL fragments with the engine, so a shared
+formula bug would pass both sides. These fixtures re-derive every piece by
+hand with different algebra and query structure:
+  * length quantization via power-of-two division
+    (floor(dl / 2^(floor(log2 dl)-3)) * 2^...) instead of shift expressions,
+  * BM25 written as idf * 2.2 * tf / (tf + 1.2*(0.25 + 0.75*q/avgdl))
+    with literal constants instead of parameterized k1/b snippets,
+  * flat single-pass tf computation (list_filter counts) instead of the
+    generator's unnest/join CTE chain,
+  * phrase freq counted by adjacent-index list_filter instead of the
+    generated position-join.
+Only the data derivation (transcripts view) and the analyzer's token regex
+are shared — they define the input contract, not the scoring semantics.
+"""
+
+from __future__ import annotations
+
+from .oracle import TRANSCRIPTS_CTE
+from .plans import query_dsl as Q
+from .sources import transcripts as TR
+
+_RX = r"[\pL\pN]+"
+KEYS = ["conv_id", "turn_idx"]
+
+# the effective (lossy) doc length BM25 sees, derived by hand: keep the top 4
+# significant bits of dl by dividing/multiplying with 2^(bitlength-4)
+_QDL = (
+    "(CASE WHEN dl < 8 THEN cast(dl AS double) ELSE "
+    "floor(dl / power(2, floor(log2(dl)) - 3)) * power(2, floor(log2(dl)) - 3) "
+    "END)"
+)
+
+
+def _bm25(tf: str, idf: str) -> str:
+    return f"(({idf}) * 2.2 * ({tf}) / (({tf}) + 1.2 * (0.25 + 0.75 * {_QDL} / avgdl)))"
+
+
+def _idf(df: str) -> str:
+    return f"ln(1.0 + (n - {df} + 0.5) / ({df} + 0.5))"
+
+
+HAND_QUERIES: dict[str, dict] = {
+    "hand_match_or": {"match": {"text": "spark fast"}},
+    "hand_match_and": {"match": {"text": {"query": "join table", "operator": "and"}}},
+    "hand_match_phrase": {"match_phrase": {"text": "table hash"}},
+}
+
+
+def _match_or_sql(t1: str, t2: str, require_both: bool) -> str:
+    where = "tf1 > 0 AND tf2 > 0" if require_both else "tf1 > 0 OR tf2 > 0"
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+tf AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              len(list_filter(toks, x -> x = '{t1}')) AS tf1,
+              len(list_filter(toks, x -> x = '{t2}')) AS tf2
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+      FROM tf)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         (CASE WHEN tf1 > 0 THEN {_bm25('tf1', _idf('df1'))} ELSE 0 END) +
+         (CASE WHEN tf2 > 0 THEN {_bm25('tf2', _idf('df2'))} ELSE 0 END) AS score
+  FROM tf, g WHERE {where})
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+def _match_phrase_sql(t1: str, t2: str) -> str:
+    # phrase freq: adjacent positions i (1-based) with toks[i]=t1, toks[i+1]=t2
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+pf AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              len(list_filter(range(1, len(toks)),
+                              i -> toks[i] = '{t1}' AND toks[i + 1] = '{t2}')) AS pfreq,
+              len(list_filter(toks, x -> x = '{t1}')) > 0 AS has1,
+              len(list_filter(toks, x -> x = '{t2}')) > 0 AS has2
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN has1 THEN 1 END) AS df1,
+             count(CASE WHEN has2 THEN 1 END) AS df2
+      FROM pf)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         {_bm25('pfreq', _idf('df1') + ' + ' + _idf('df2'))} AS score
+  FROM pf, g WHERE pfreq > 0)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+HAND_ORACLE_SQL = {
+    "hand_match_or": _match_or_sql("spark", "fast", require_both=False),
+    "hand_match_and": _match_or_sql("join", "table", require_both=True),
+    "hand_match_phrase": _match_phrase_sql("table", "hash"),
+}
+
+
+def _fn(qd: dict):
+    def run(spark, sf_dir):
+        return Q.search(TR.transcripts_view(spark, sf_dir), qd, KEYS, k=10)
+
+    return run
+
+
+HAND_QUERY_FNS = {name: _fn(qd) for name, qd in HAND_QUERIES.items()}

@@ -131,6 +131,56 @@ class Scroll:
         return rows
 
 
+def terminate_after_scan(
+    spark: SparkSession,
+    store,
+    predicate: str,
+    n: int,
+    snapshot_id: int | None = None,
+    batch_counter=None,
+) -> DataFrame:
+    """terminate_after: stop collecting after `n` matching docs per partition
+    (EarlyTerminatingCollector.java semantics — ES stops the per-shard
+    collector at N and flags partial results).
+
+    The mapInPandas generator stops CONSUMING its Arrow batch iterator once n
+    matches are buffered, so remaining row groups of the partition are never
+    read — a real early exit, not a post-hoc LIMIT. Docs files are
+    ordinal-sorted, so each partition yields its first n matches in key
+    order; the coordinator-side orderBy().limit(n) then equals the global
+    first n matching docs by (conv_id, turn_idx) — deterministic, and the
+    per-partition prefix property makes the merge exact. `batch_counter` (a
+    Spark accumulator) counts consumed Arrow batches for tests.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .topk import _apply_deletes, read_segment_docs
+
+    snap = store.snapshot(snapshot_id)
+    docs = read_segment_docs(spark, store, snap)
+    docs = _apply_deletes(spark, store, snap, docs)
+    # predicate pushed to the parquet scan; the early exit bounds how many
+    # surviving batches each partition materializes
+    matched = docs.where(predicate).select("conv_id", "turn_idx")
+
+    def take_n(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        found = 0
+        for pdf in it:
+            if batch_counter is not None:
+                batch_counter.add(1)
+            take = min(n - found, len(pdf))
+            if take > 0:
+                yield pdf.iloc[:take]
+                found += take
+            if found >= n:
+                return  # stop consuming: remaining batches are never read
+
+    out = matched.mapInPandas(take_n, schema="conv_id string, turn_idx int")
+    return out.orderBy("conv_id", "turn_idx").limit(n)
+
+
 def collapse(
     docs: DataFrame,
     query: dict,
