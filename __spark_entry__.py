@@ -27,6 +27,7 @@ from elasticsearch_spark.queryset import (  # noqa: E402
     RESCORE_FIXTURE,
     SEARCH_AFTER_FIXTURE,
     SEARCH_QUERIES,
+    SPAN_QUERIES,
 )
 from elasticsearch_spark.sources import transcripts as TR  # noqa: E402
 
@@ -131,6 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["highlight_match"] = _highlight
     for name, qd in INTERVALS_QUERIES.items():
         out[f"search_{name}"] = _search_fn(qd)
+        out[f"indexed_{name}"] = _indexed_fn(qd)
+    for name, qd in SPAN_QUERIES.items():
+        out[f"search_{name}"] = _search_fn(qd)
+        out[f"indexed_{name}"] = _indexed_fn(qd)
 
     # new-in-round-2 breadth: front-load ahead of the (r01-verified) search_*
     # and agg_* blocks so they land inside the driver gate's row budget
@@ -159,6 +164,10 @@ def oracle_sql() -> dict[str, str]:
         out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
     for name, qd in INTERVALS_QUERIES.items():
         out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+        out[f"indexed_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+    for name, qd in SPAN_QUERIES.items():
+        out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+        out[f"indexed_{name}"] = oracle.search_sql(qd, DEFAULT_K)
     for name in INDEXED_QUERY_NAMES:
         out[f"indexed_{name}"] = oracle.search_sql(SEARCH_QUERIES[name], DEFAULT_K)
     out.update(aggset.agg_oracle_sql())

@@ -425,6 +425,96 @@ FROM transcripts t JOIN med USING (role) GROUP BY t.role""",
 }
 
 
+# --- rare_terms (reg SearchModule.java:416): conv_ids whose filtered doc
+# count is <= max_doc_count. tool='search' AND role='user' selects exactly
+# turn 0 of each conversation (doc_id % 20 == 0), so every conv_id is "rare"
+# with doc_count 1 at any scale factor — deterministic without tuning.
+AGG_QUERIES["agg_rare_terms"] = {
+    "body": {
+        "query": {
+            "bool": {
+                "filter": [{"term": {"tool": "search"}}, {"term": {"role": "user"}}]
+            }
+        },
+        "aggs": {"conv": {"rare_terms": {"field": "conv_id", "max_doc_count": 1}}},
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT conv_id AS conv, count(*) AS doc_count
+FROM transcripts WHERE tool = 'search' AND role = 'user'
+GROUP BY conv_id HAVING count(*) <= 1 ORDER BY conv_id""",
+}
+
+# --- adjacency_matrix (reg SearchModule.java:399): singles + pairwise keys
+_ADJ_FILTERS = {
+    "late": "turn_idx >= 10",
+    "search": "tool = 'search'",
+    "user": "role = 'user'",
+}
+_ADJ_ARMS = []
+for _n, _p in sorted(_ADJ_FILTERS.items()):
+    _ADJ_ARMS.append(f"SELECT '{_n}' AS key, count(*) AS doc_count FROM transcripts WHERE {_p} HAVING count(*) > 0")
+_ADJ_NAMES = sorted(_ADJ_FILTERS)
+for _i in range(len(_ADJ_NAMES)):
+    for _j in range(_i + 1, len(_ADJ_NAMES)):
+        _a, _b = _ADJ_NAMES[_i], _ADJ_NAMES[_j]
+        _ADJ_ARMS.append(
+            f"SELECT '{_a}&{_b}' AS key, count(*) AS doc_count FROM transcripts "
+            f"WHERE ({_ADJ_FILTERS[_a]}) AND ({_ADJ_FILTERS[_b]}) HAVING count(*) > 0"
+        )
+AGG_QUERIES["agg_adjacency_matrix"] = {
+    "oracle": f"{TRANSCRIPTS_CTE}\nSELECT * FROM ({' UNION ALL '.join(_ADJ_ARMS)}) ORDER BY key",
+}
+
+# --- scripted_metric (reg SearchModule.java:456): per-role third central
+# moment of turn_idx — not a built-in aggregate, computed by the grouped-map
+# pandas UDAF on the Spark side and by explicit SQL algebra in the oracle.
+AGG_QUERIES["agg_scripted_metric"] = {
+    "oracle": f"""{TRANSCRIPTS_CTE},
+m AS (SELECT role, avg(turn_idx) AS mu FROM transcripts GROUP BY role)
+SELECT t.role AS role,
+       round(sum(pow(t.turn_idx - m.mu, 3)) / count(*), 4) AS m3
+FROM transcripts t JOIN m USING (role) GROUP BY t.role ORDER BY t.role""",
+}
+
+# --- diversified_sampler (reg SearchModule.java:407): top shard_size docs by
+# score with at most max_docs_per_value per role; score = epoch(ts), unique
+# per doc, so the ranked window is fully deterministic.
+AGG_QUERIES["agg_diversified_sampler"] = {
+    "oracle": f"""{TRANSCRIPTS_CTE},
+r AS (SELECT conv_id, turn_idx, role, cast(epoch(ts) as double) AS score,
+             row_number() OVER (PARTITION BY role ORDER BY epoch(ts) DESC) AS rn
+      FROM transcripts)
+SELECT conv_id, turn_idx, role, score FROM r WHERE rn <= 2
+ORDER BY score DESC LIMIT 6""",
+}
+
+
+def _adjacency_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return aggs.adjacency_matrix(docs, _ADJ_FILTERS)
+
+
+def _scripted_metric_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def third_moment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["turn_idx"].to_numpy(dtype="float64")
+        mu = t.mean()
+        return pd.DataFrame({"role": [key[0]], "m3": [((t - mu) ** 3).sum() / len(t)]})
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    out = aggs.scripted_metric(docs, ["role"], third_moment, "role string, m3 double")
+    return _round_doubles(out).orderBy("role")
+
+
+def _div_sampler_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role",
+        F.unix_timestamp("ts").cast("double").alias("score"),
+    )
+    return aggs.diversified_sampler(docs, "role", max_docs_per_value=2, shard_size=6)
+
+
 def _sig_terms_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TR.transcripts_view(spark, sf_dir)
     fg = docs.where(F.array_contains(analysis.tokens("text"), "spark"))
@@ -473,6 +563,12 @@ def agg_query_fns() -> dict:
             out[name] = _sig_terms_fix
         elif name == "agg_mad_role":
             out[name] = _mad_fix
+        elif name == "agg_adjacency_matrix":
+            out[name] = _adjacency_fix
+        elif name == "agg_scripted_metric":
+            out[name] = _scripted_metric_fix
+        elif name == "agg_diversified_sampler":
+            out[name] = _div_sampler_fix
         else:
             out[name] = _fix(spec["body"], spec.get("fill"))
     return out

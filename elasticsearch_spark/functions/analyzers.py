@@ -1,0 +1,278 @@
+"""Configurable analyzer chains beyond `standard` (reference:
+modules/analysis-common — tokenizers + token filters registered in
+CommonAnalysisPlugin.java; the `standard` default chain itself lives in
+server StandardAnalyzerProvider.java:32-40).
+
+Spark-first design: an analyzer is TOKENIZER -> [FILTER...] where every stage
+is a JVM-side Column expression (regexp_extract_all / split and higher-order
+array functions — transform/filter/flatten/aggregate). Nothing leaves
+whole-stage codegen; no Python UDFs. The same chain has a driver-side Python
+twin (`analyze_text`) for query-string analysis and suggester input, mirroring
+how the reference analyzes query text with the index-time analyzer
+(MatchQuery.java uses the field's search_analyzer).
+
+Supported components (ES name -> here):
+  tokenizers: standard, whitespace, letter, keyword, ngram, edge_ngram
+  filters: lowercase, uppercase, stop, asciifolding, length, unique, reverse,
+           truncate, shingle, stemmer(minimal_english)
+The minimal_english stemmer is a plural-stripping stemmer in the spirit of
+Lucene's EnglishMinimalStemmer (-ies>-y, -es>-e drop, -s drop unless -ss;
+words <3 chars untouched) — NOT Porter, and slightly broader than Lucene's
+(which only strips a trailing -s); rule set documented here, tested in
+tests/test_analyzers.py.
+
+Out of scope (catalogued, not built): language-specific analyzers, synonyms,
+phonetic, ICU; the north rule's corpus is English-default (`standard`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ES default English stopword set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET,
+# used by the `stop` filter's `_english_` default)
+ENGLISH_STOP = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with",
+]
+
+_ASCII_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+_ASCII_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+# ------------------------------------------------------------- tokenizers
+def _tokenize(c: Column, spec: dict) -> Column:
+    kind = spec.get("tokenizer", "standard")
+    if kind == "standard":
+        return F.regexp_extract_all(c, F.lit(r"[\p{L}\p{N}]+"), F.lit(0))
+    if kind == "whitespace":
+        return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    if kind == "letter":
+        return F.regexp_extract_all(c, F.lit(r"[\p{L}]+"), F.lit(0))
+    if kind == "keyword":
+        return F.when(c.isNull(), None).otherwise(F.array(c))
+    if kind in ("ngram", "edge_ngram"):
+        mn = int(spec.get("min_gram", 1 if kind == "ngram" else 1))
+        mx = int(spec.get("max_gram", 2))
+        # character n-grams over the whole string (NGramTokenizer.java):
+        # starts x lengths, sliced with substring — a flat JVM expression
+        starts = F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1)))
+        if kind == "edge_ngram":
+            starts = F.sequence(F.lit(1), F.lit(1))
+        grams = F.flatten(
+            F.transform(
+                starts,
+                lambda s: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(mn), F.lit(mx)),
+                        lambda n: F.when(
+                            s + n - 1 <= F.length(c), F.substring(c, s, n)
+                        ),
+                    ),
+                    lambda g: g.isNotNull(),
+                ),
+            )
+        )
+        return F.when(c.isNull(), None).otherwise(grams)
+    raise ValueError(f"unknown tokenizer: {kind}")
+
+
+# ---------------------------------------------------------------- filters
+def _apply_filter(toks: Column, f) -> Column:
+    name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+    if name == "lowercase":
+        return F.transform(toks, F.lower)
+    if name == "uppercase":
+        return F.transform(toks, F.upper)
+    if name == "stop":
+        words = params.get("stopwords", ENGLISH_STOP)
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.filter(toks, lambda t: ~F.array_contains(arr, t))
+    if name == "asciifolding":
+        return F.transform(toks, lambda t: F.translate(t, _ASCII_FROM, _ASCII_TO))
+    if name == "length":
+        mn = int(params.get("min", 0))
+        mx = int(params.get("max", 2**31 - 1))
+        return F.filter(toks, lambda t: (F.length(t) >= mn) & (F.length(t) <= mx))
+    if name == "unique":
+        return F.array_distinct(toks)
+    if name == "reverse":
+        return F.transform(toks, F.reverse)
+    if name == "truncate":
+        ln = int(params.get("length", 10))
+        return F.transform(toks, lambda t: F.substring(t, 1, ln))
+    if name == "shingle":
+        mn = int(params.get("min_shingle_size", 2))
+        mx = int(params.get("max_shingle_size", 2))
+        sep = params.get("token_separator", " ")
+        out = toks if params.get("output_unigrams", True) else F.array()
+        for n in range(mn, mx + 1):
+            sh = F.filter(
+                F.transform(
+                    toks,
+                    (
+                        lambda n_: lambda t, i: F.when(
+                            i + n_ <= F.size(toks),
+                            F.array_join(F.slice(toks, i + 1, n_), sep),
+                        )
+                    )(n),
+                ),
+                lambda g: g.isNotNull(),
+            )
+            out = F.concat(out, sh)
+        return out
+    if name == "stemmer":
+        lang = params.get("language", "minimal_english")
+        if lang != "minimal_english":
+            raise ValueError(f"stemmer language {lang} unsupported")
+        return F.transform(
+            toks,
+            lambda t: F.when(F.length(t) < 3, t)
+            .when(t.endswith("ies"), F.regexp_replace(t, "ies$", "y"))
+            .when(t.endswith("es"), F.regexp_replace(t, "es$", "e"))
+            .when(t.endswith("s") & ~t.endswith("ss"), F.regexp_replace(t, "s$", ""))
+            .otherwise(t),
+        )
+    raise ValueError(f"unknown token filter: {name}")
+
+
+# --------------------------------------------------------------- analyzers
+BUILTIN_ANALYZERS: dict[str, dict] = {
+    "standard": {"tokenizer": "standard", "filters": ["lowercase"]},
+    "simple": {"tokenizer": "letter", "filters": ["lowercase"]},
+    "whitespace": {"tokenizer": "whitespace", "filters": []},
+    "keyword": {"tokenizer": "keyword", "filters": []},
+    "stop": {"tokenizer": "letter", "filters": ["lowercase", "stop"]},
+    "english_light": {
+        "tokenizer": "standard",
+        "filters": ["lowercase", "stop", {"type": "stemmer", "language": "minimal_english"}],
+    },
+}
+
+
+def resolve(spec: str | dict) -> dict:
+    if isinstance(spec, str):
+        if spec not in BUILTIN_ANALYZERS:
+            raise ValueError(f"unknown analyzer: {spec}")
+        return BUILTIN_ANALYZERS[spec]
+    return spec
+
+
+def tokens(text: Column | str, analyzer: str | dict = "standard") -> Column:
+    """array<string> of tokens for `text` under the named/custom analyzer."""
+    spec = resolve(analyzer)
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokenize(c, spec)
+    for f in spec.get("filters", []):
+        toks = _apply_filter(toks, f)
+    return toks
+
+
+# ------------------------------------------------- driver-side Python twin
+def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
+    """Python twin of tokens() for query-side analysis (must agree with the
+    executor-side expressions on every chain; property-tested)."""
+    import re
+
+    spec = resolve(analyzer)
+    kind = spec.get("tokenizer", "standard")
+    if kind == "standard":
+        toks = _py_alnum(text)
+    elif kind == "whitespace":
+        toks = [t for t in re.split(r"\s+", text) if t]
+    elif kind == "letter":
+        toks = _py_runs(text, str.isalpha)
+    elif kind == "keyword":
+        toks = [text]
+    elif kind in ("ngram", "edge_ngram"):
+        mn = int(spec.get("min_gram", 1))
+        mx = int(spec.get("max_gram", 2))
+        starts = range(len(text)) if kind == "ngram" else range(1)
+        toks = [
+            text[s : s + n]
+            for s in starts
+            for n in range(mn, mx + 1)
+            if s + n <= len(text)
+        ]
+        if not text:
+            toks = []
+    else:
+        raise ValueError(kind)
+
+    for f in spec.get("filters", []):
+        name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+        if name == "lowercase":
+            toks = [t.lower() for t in toks]
+        elif name == "uppercase":
+            toks = [t.upper() for t in toks]
+        elif name == "stop":
+            sw = set(params.get("stopwords", ENGLISH_STOP))
+            toks = [t for t in toks if t not in sw]
+        elif name == "asciifolding":
+            # exactly the executor-side translate table (no NFKD fallback:
+            # the twins must agree character-for-character)
+            tbl = str.maketrans(_ASCII_FROM, _ASCII_TO)
+            toks = [t.translate(tbl) for t in toks]
+        elif name == "length":
+            mn, mx = int(params.get("min", 0)), int(params.get("max", 2**31 - 1))
+            toks = [t for t in toks if mn <= len(t) <= mx]
+        elif name == "unique":
+            toks = list(dict.fromkeys(toks))
+        elif name == "reverse":
+            toks = [t[::-1] for t in toks]
+        elif name == "truncate":
+            ln = int(params.get("length", 10))
+            toks = [t[:ln] for t in toks]
+        elif name == "shingle":
+            mn = int(params.get("min_shingle_size", 2))
+            mx = int(params.get("max_shingle_size", 2))
+            sep = params.get("token_separator", " ")
+            out = list(toks) if params.get("output_unigrams", True) else []
+            for n in range(mn, mx + 1):
+                out += [sep.join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            toks = out
+        elif name == "stemmer":
+            def stem(t: str) -> str:
+                if len(t) < 3:
+                    return t
+                if t.endswith("ies"):
+                    return t[:-3] + "y"
+                if t.endswith("es"):
+                    return t[:-1]
+                if t.endswith("s") and not t.endswith("ss"):
+                    return t[:-1]
+                return t
+
+            toks = [stem(t) for t in toks]
+        else:
+            raise ValueError(name)
+    return toks
+
+
+def _py_alnum(text: str) -> list[str]:
+    out, cur = [], []
+    for ch in text:
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _py_runs(text: str, pred) -> list[str]:
+    out, cur = [], []
+    for ch in text:
+        if pred(ch):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out

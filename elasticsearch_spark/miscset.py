@@ -103,11 +103,51 @@ def fx_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest.analyze_api(spark, "Hello, Spark-Graft 42!")
 
 
+# --- Get / Multi-get (ShardGetService.java:92-125, TransportMultiGetAction):
+# point reads by _id = conv_id#turn_idx against the latest snapshot view
+_GET_IDS = ["conv_000002#7", "conv_000005#0", "conv_000009#19"]
+
+
+def _id_col():
+    return F.concat_ws(
+        "#", F.col("conv_id").cast("string"), F.col("turn_idx").cast("string")
+    )
+
+
+def fx_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return docs.where(_id_col() == _GET_IDS[0]).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def fx_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return (
+        docs.where(_id_col().isin(_GET_IDS))
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _get_oracle(ids: list[str]) -> str:
+    lits = ", ".join(f"'{v}'" for v in ids)
+    return (
+        TRANSCRIPTS_CTE
+        + f"""
+SELECT conv_id, turn_idx, role, text, tool FROM transcripts
+WHERE conv_id || '#' || cast(turn_idx as varchar) IN ({lits})
+ORDER BY conv_id, turn_idx"""
+    )
+
+
 MISC_QUERY_FNS = {
     "ingest_pipeline": fx_ingest,
     "suggest_term": fx_term_suggest,
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
+    "doc_get": fx_get,
+    "doc_multi_get": fx_multi_get,
 }
 
 MISC_ORACLE_SQL = {
@@ -115,4 +155,6 @@ MISC_ORACLE_SQL = {
     "suggest_term": _SUGGEST_ORACLE,
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,
+    "doc_get": _get_oracle(_GET_IDS[:1]),
+    "doc_multi_get": _get_oracle(_GET_IDS),
 }

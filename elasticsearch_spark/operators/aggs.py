@@ -211,6 +211,20 @@ def _metric_cols(docs: DataFrame, name: str, spec: dict) -> list[Column]:
         return [(F.sum(v * w) / F.sum(w)).alias(name)]
     if kind == "percentiles":
         pcts = b.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        method = b.get("method", "exact")
+        if method in ("tdigest", "hdr"):
+            # sketched percentiles (AbstractTDigestPercentilesAggregator /
+            # AbstractHDRPercentilesAggregator): Spark's native mergeable
+            # sketch is Greenwald-Khanna (approx_percentile), the same
+            # bounded-error partial/final contract as TDigest with accuracy
+            # 1/compression — documented algorithm swap, same API surface
+            acc = int(b.get("tdigest", {}).get("compression", 100)) * 100
+            return [
+                F.percentile_approx(c, F.lit(p / 100.0), F.lit(acc)).alias(
+                    f"{name}_p{_pname(p)}"
+                )
+                for p in pcts
+            ]
         return [
             F.percentile(c, F.lit(p / 100.0)).alias(f"{name}_p{_pname(p)}") for p in pcts
         ]

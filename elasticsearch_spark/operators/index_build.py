@@ -1,20 +1,24 @@
 """Inverted-index build: transcripts DataFrame -> segment tables.
 
-Spark shape (SURVEY.md §3.2): tokenize (JVM regex) -> explode -> tf per
-(term, doc) -> shuffle by (term, block) -> encode delta+varbyte postings in
-bounded Arrow kernels -> write sorted segment parquet + manifest checkpoint.
+Spark shape (SURVEY.md §3.2): tokenize (JVM regex) -> posexplode ->
+(term, packed) two-column shuffle hash-keyed by (term, fid|block) -> columnar
+dictionary-encode + int-sort + delta+varbyte encode inside one Arrow kernel
+-> write term-clustered segment parquet + manifest checkpoint.
 
 Scale design decisions:
   * Doc ordinals: dense per segment, assigned by range-repartition on the doc
     key + per-partition row_number + broadcast partition offsets — stable
     under repartitioning, never monotonically_increasing_id (SURVEY §7).
   * Postings blocks are FIXED ORDINAL RANGES (BLOCK_RANGE ordinals), not fixed
-    posting counts: every pandas group is <= BLOCK_RANGE rows, so a hot term
+    posting counts: every encode group is <= BLOCK_RANGE rows, so a hot term
     ("the", df=every doc) is automatically split across (term, block) shuffle
     keys — the salted-key skew handling the north rule asks for, with the salt
     being the block id, and block-max metadata stays exact after any merge.
-  * Encoding runs in mapInPandas over partitions sorted by (term, block):
-    one Arrow pass, vectorized numpy codec, no per-row Python.
+  * The shuffle carries TWO columns (term string + one packed int64) and NO
+    Spark-side sort: ordering happens columnar-side in the Arrow kernel
+    (np.lexsort over int arrays after dictionary-encoding terms), which is
+    far cheaper in memory bandwidth than UnsafeRow sorting — bandwidth is the
+    contended resource behind the north rule's scaling-efficiency gate.
   * A segment is the unit of resumability: one committed snapshot per input
     slice (ES translog-checkpoint analog, Checkpoint.java:43-106); a killed
     build resumes by skipping slice_ids already in the manifest.
@@ -37,7 +41,35 @@ from pyspark.sql import types as T
 from ..functions import analysis, codec, scoring
 from ..sources.segment_store import SegmentMeta, SegmentStore
 
-BLOCK_RANGE = 4096  # ordinals per postings block
+BLOCK_BITS = 12
+BLOCK_RANGE = 1 << BLOCK_BITS  # ordinals per postings block
+
+# The postings shuffle carries exactly TWO columns per token occurrence:
+# (term string, packed int64). Packing (fid, ordinal, pos, norm) into one long
+# halves the UnsafeRow shuffle bytes vs separate columns (each column costs a
+# fixed 8-byte slot regardless of width) and turns the within-partition sort
+# into a string + single-long-prefix comparison — the shuffle-sort is the
+# memory-bandwidth-bound half of the build, so bytes here are the scaling
+# lever (north_rule ≥0.8 efficiency N -> 4N).
+#
+# Bit layout (high -> low): fid:4 | ordinal:32 | pos:20 | norm:8.
+#   * 4-bit field id: up to 8 indexed fields (sign bit must stay clear).
+#   * 32-bit ordinal: up to 4.3B docs per SEGMENT; a 10^12-turn build runs
+#     many slices (build_index n_slices), each its own segment. Guarded in
+#     build_segment.
+#   * 20-bit position: up to 1M tokens per doc (Lucene caps positions at
+#     2^31; transcript turns are far below both). Guarded in build_segment.
+#   * 8-bit norm: the byte4-quantized doc length (already 0..255).
+# Sorting by (term, packed) yields (term, fid, bk, ordinal, pos) run order
+# because bk = ordinal >> BLOCK_BITS is a prefix of the ordinal bits; the
+# partition key (packed >> PACK_FIDBK_SHIFT) is exactly (fid, bk) — the
+# block id bk IS the salt for hot terms.
+PACK_NORM_BITS = 8
+PACK_POS_BITS = 20
+PACK_ORD_BITS = 32
+PACK_ORD_SHIFT = PACK_NORM_BITS + PACK_POS_BITS  # 28
+PACK_FID_SHIFT = PACK_ORD_SHIFT + PACK_ORD_BITS  # 60
+PACK_FIDBK_SHIFT = PACK_ORD_SHIFT + BLOCK_BITS  # 40
 
 DOC_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -56,6 +88,27 @@ def dl_col(f: str) -> str:
 def norm_col(f: str) -> str:
     return "norm" if f == "text" else f"norm_{f}"
 
+
+def _postings_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("bk", pa.int32()),
+            ("n", pa.int32()),
+            ("max_tf", pa.int32()),
+            ("min_dlq", pa.int64()),
+            ("docs", pa.binary()),
+            ("tfs", pa.binary()),
+            ("norms", pa.binary()),
+            ("poss", pa.binary()),
+        ]
+    )
+
+
+_POSTINGS_ARROW = _postings_arrow_schema()
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -133,66 +186,62 @@ def assign_ordinals(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return base.mapInPandas(stamp, schema=out_schema)
 
 
-def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
-    """Vectorized encode of raw token rows sorted by (term, bk, ordinal).
+def _encode_runs(term_of_run, codes: "np.ndarray", packed: "np.ndarray"):
+    """Vectorized encode of occurrence arrays sorted by (term code, packed).
 
-    Input rows are one per TOKEN OCCURRENCE (term, bk, ordinal, norm) — tf is
-    the count of adjacent duplicates, aggregated here instead of by a groupBy
-    upstream, saving a full shuffle of the exploded tokens. Block groups are
-    contiguous runs (the shuffle sorted within partitions), so boundaries come
-    from neighbor comparison — no pandas groupby, no per-row Python beyond
-    three bytes slices per block. Returns (encoded DataFrame | None, remainder
-    rows of the trailing possibly-incomplete group).
+    Input arrays are one element per TOKEN OCCURRENCE — tf is the count of
+    adjacent duplicate ordinals, aggregated here instead of by a groupBy
+    upstream, saving a full shuffle of the exploded tokens. (fid, ordinal,
+    pos, norm) unpack from the single int64 (see PACK_* layout above). Run
+    boundaries come from neighbor comparison on two int arrays; term strings
+    materialize only once per output block via `term_of_run(code)` — no
+    per-occurrence Python objects anywhere.
     """
     import numpy as np
 
-    empty = pdf.iloc[0:0]
-    if pdf.empty:
-        return None, empty
-    fld = pdf["field"].to_numpy(dtype=object)
-    term = pdf["term"].to_numpy(dtype=object)
-    bk = pdf["bk"].to_numpy(dtype=np.int64)
-    new_run = np.empty(len(pdf), dtype=bool)
+    if not len(packed):
+        return None
+    fidbk = packed >> PACK_FIDBK_SHIFT  # (fid, bk) combined — the run key
+    n_rows = len(packed)
+    new_run = np.empty(n_rows, dtype=bool)
     new_run[0] = True
-    new_run[1:] = (fld[1:] != fld[:-1]) | (term[1:] != term[:-1]) | (bk[1:] != bk[:-1])
+    new_run[1:] = (codes[1:] != codes[:-1]) | (fidbk[1:] != fidbk[:-1])
     starts = np.flatnonzero(new_run)
-    if hold_last:
-        if len(starts) == 1:
-            return None, pdf  # single (possibly incomplete) group: buffer all
-        cut = int(starts[-1])
-        remainder = pdf.iloc[cut:]
-        pdf = pdf.iloc[:cut]
-        fld, term, bk = fld[:cut], term[:cut], bk[:cut]
-        starts = starts[:-1]
-    else:
-        remainder = empty
 
-    ords = pdf["ordinal"].to_numpy(dtype=np.int64)
-    norms = pdf["norm"].to_numpy().astype(np.uint8)
-    poss = pdf["pos"].to_numpy(dtype=np.int64)
+    fields_arr = np.array(INDEXED_FIELDS, dtype=object)
+    bk = fidbk & ((1 << (PACK_ORD_BITS - BLOCK_BITS)) - 1)
+    ords = (packed >> PACK_ORD_SHIFT) & ((1 << PACK_ORD_BITS) - 1)
+    norms = (packed & 0xFF).astype(np.uint8)
+    poss = (packed >> PACK_NORM_BITS) & ((1 << PACK_POS_BITS) - 1)
     decode_tbl = np.array([scoring.byte4_to_int(b) for b in range(256)], dtype=np.int64)
 
     # collapse duplicate (term, bk, ordinal) occurrences into postings with tf
-    new_post = np.empty(len(pdf), dtype=bool)
+    new_post = np.empty(n_rows, dtype=bool)
     new_post[0] = True
-    new_post[1:] = (ords[1:] != ords[:-1]) | new_run[1 : len(pdf)]
-    new_post[starts] = True
+    new_post[1:] = (ords[1:] != ords[:-1]) | new_run[1:]
     post_starts = np.flatnonzero(new_post)
-    tfs = np.diff(np.append(post_starts, len(pdf)))
+    n_posts = len(post_starts)
+    tfs = np.empty(n_posts, dtype=np.int64)
+    np.subtract(post_starts[1:], post_starts[:-1], out=tfs[:-1])
+    tfs[-1] = n_rows - post_starts[-1]
     p_ords = ords[post_starts]
     p_norms = norms[post_starts]
     # group boundaries in posting index space (every run start is a posting start)
     g_starts = np.searchsorted(post_starts, starts)
-    g_ends = np.append(g_starts[1:], len(post_starts))
+    g_ends = np.append(g_starts[1:], n_posts)
 
     # per-run delta of ordinals (run heads keep their absolute ordinal)
-    deltas = np.diff(p_ords, prepend=np.int64(0))
+    deltas = np.empty(n_posts, dtype=np.int64)
+    deltas[0] = p_ords[0]
+    np.subtract(p_ords[1:], p_ords[:-1], out=deltas[1:])
     deltas[g_starts] = p_ords[g_starts]
     docs_buf, docs_nb = codec.varbyte_encode_sized(deltas.astype(np.uint64))
     tfs_buf, tfs_nb = codec.varbyte_encode_sized(tfs.astype(np.uint64))
-    # positions: delta within each posting (input sorted by pos inside each
+    # positions: delta within each posting (sorted by pos inside each
     # (term, bk, ordinal) run; posting heads keep their absolute position)
-    pos_deltas = np.diff(poss, prepend=np.int64(0))
+    pos_deltas = np.empty(n_rows, dtype=np.int64)
+    pos_deltas[0] = poss[0]
+    np.subtract(poss[1:], poss[:-1], out=pos_deltas[1:])
     pos_deltas[post_starts] = poss[post_starts]
     poss_buf, poss_nb = codec.varbyte_encode_sized(pos_deltas.astype(np.uint64))
     docs_off = np.concatenate([[0], np.cumsum(docs_nb)])
@@ -202,12 +251,12 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
     poss_all = poss_buf.tobytes()
     norms_all = p_norms.tobytes()
     # positions byte-range per block spans occurrence rows [starts, ends)
-    ends_occ = np.append(starts[1:], len(pdf))
+    ends_occ = np.append(starts[1:], n_rows)
 
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
-            "field": fld[starts],
-            "term": term[starts],
+            "field": fields_arr[(packed[starts] >> PACK_FID_SHIFT).astype(np.int64)],
+            "term": [term_of_run(c) for c in codes[starts]],
             "bk": bk[starts].astype(np.int32),
             "n": (g_ends - g_starts).astype(np.int32),
             "max_tf": np.maximum.reduceat(tfs, g_starts).astype(np.int32),
@@ -218,30 +267,51 @@ def _encode_runs(pdf: pd.DataFrame, hold_last: bool):
             "poss": [poss_all[poss_off[s] : poss_off[e]] for s, e in zip(starts, ends_occ)],
         }
     )
-    return out, remainder
 
 
-def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Encode (term, bk, ordinal, tf, norm) rows -> one row per (term, block).
+def _encode_partition(it):
+    """Arrow kernel: one hash partition of (term, packed) occurrence rows ->
+    one output row per (field, term, block).
 
-    Input partitions are hash-partitioned by (term, bk) and sorted by
-    (term, bk, ordinal); Arrow may split a run across batches, so the trailing
-    group of each batch is buffered until the key changes.
+    Replaces Spark's row-based UnsafeExternalSorter with a columnar sort:
+    terms dictionary-encode to int32 codes (hash-based Arrow C++ kernel), the
+    sort is np.lexsort over two int arrays (packed within lex-rank-of-term) —
+    far cheaper in memory bandwidth than comparing UnsafeRows, which is
+    exactly the resource the scaling rule is gated on. The partition is
+    materialized once (the Lucene RAM-buffer-then-flush analog); callers size
+    `partitions` so a partition fits executor memory — the same rule a real
+    cluster uses for sort-heavy stages. Output rows are emitted in (term lex
+    order, fid, bk) so parquet row-group min/max stats prune term point-reads.
     """
-    pending: pd.DataFrame | None = None
-    for batch in it:
-        pdf = (
-            pd.concat([pending, batch], ignore_index=True)
-            if pending is not None and len(pending)
-            else batch
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    del batches
+    denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    codes = denc.indices.to_numpy().astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    packed = tbl.column("packed").to_numpy()
+    del tbl, denc
+    # lexicographic rank per code: sort the (small) vocabulary once, then the
+    # big arrays sort purely on ints
+    lexrank = np.empty(len(vocab), dtype=np.int64)
+    lexrank[np.argsort(vocab, kind="stable")] = np.arange(len(vocab))
+    order = np.lexsort((packed, lexrank[codes]))
+    codes, packed = codes[order], packed[order]
+    del order
+    out = _encode_runs(lambda c: vocab[c], codes, packed)
+    if out is None or not len(out):
+        return
+    # chunked emit keeps each Arrow batch bounded (hot-term blocks are big)
+    for lo in range(0, len(out), 65536):
+        yield pa.RecordBatch.from_pandas(
+            out.iloc[lo : lo + 65536], schema=_POSTINGS_ARROW, preserve_index=False
         )
-        out, pending = _encode_runs(pdf, hold_last=True)
-        if out is not None and len(out):
-            yield out
-    if pending is not None and len(pending):
-        out, _ = _encode_runs(pending, hold_last=False)
-        if out is not None and len(out):
-            yield out
 
 
 def build_segment(
@@ -273,34 +343,64 @@ def build_segment(
         .parquet(store.docs_path(seg_id))
     )
 
-    # ONE shuffle for the whole postings build: raw token occurrences are
-    # hash-repartitioned by (field, term, bk) and sorted; tf is the count of
-    # adjacent duplicate ordinals, aggregated inside the Arrow encoder (a
-    # groupBy here would add a second full shuffle for ~25% less shuffle
-    # volume — a loss). The bk component of the key IS the salt for hot
-    # terms: a term with df = all docs spreads over n_docs/BLOCK_RANGE keys
-    # (north_rule's salted-key skew handling), and block-max metadata stays
-    # exact. All indexed fields ride the same shuffle (field is just a key
-    # prefix), like Lucene's single per-segment terms dictionary.
+    # corpus stats first (cheap agg on the cached docs) — they double as the
+    # pack-width guard: a segment must fit the 32-bit ordinal / 20-bit
+    # position budget, else the caller must raise n_slices (each slice is its
+    # own segment with its own ordinal space).
+    sums = docs.agg(
+        F.count(F.lit(1)),
+        *[F.coalesce(F.sum(dl_col(f)), F.lit(0)) for f in INDEXED_FIELDS],
+        *[F.coalesce(F.max(dl_col(f)), F.lit(0)) for f in INDEXED_FIELDS],
+    ).first()
+    n_docs = int(sums[0])
+    nf = len(INDEXED_FIELDS)
+    field_sum_dl = {f: int(sums[1 + i]) for i, f in enumerate(INDEXED_FIELDS)}
+    max_dl = max(int(sums[1 + nf + i]) for i in range(nf))
+    if n_docs > (1 << PACK_ORD_BITS):
+        raise ValueError(
+            f"segment has {n_docs} docs > 2^{PACK_ORD_BITS} ordinal budget; "
+            "raise build_index(n_slices=...) so each slice fits one segment"
+        )
+    if max_dl > (1 << PACK_POS_BITS):
+        raise ValueError(
+            f"doc with {max_dl} tokens exceeds the 2^{PACK_POS_BITS} position budget"
+        )
+
+    # ONE shuffle for the whole postings build, TWO columns per occurrence:
+    # (term, packed) where packed = fid|ordinal|pos|norm (see PACK_* layout).
+    # Rows are hash-repartitioned by (term, fid|bk) and sorted by
+    # (term, packed); tf is the count of adjacent duplicate ordinals,
+    # aggregated inside the Arrow encoder (a groupBy here would add a second
+    # full shuffle for ~25% less shuffle volume — a loss). The bk bits of the
+    # partition key ARE the salt for hot terms: a term with df = all docs
+    # spreads over n_docs/BLOCK_RANGE keys (north_rule's salted-key skew
+    # handling), and block-max metadata stays exact. All indexed fields ride
+    # the same shuffle (fid is just high bits of packed), like Lucene's single
+    # per-segment terms dictionary.
     occ = None
-    for f in INDEXED_FIELDS:
-        o = (
-            docs.select(
-                "ordinal",
-                F.lit(f).alias("field"),
-                F.col(norm_col(f)).alias("norm"),
-                F.posexplode(analysis.tokens(f)).alias("pos", "term"),
-            )
-            .withColumn("bk", (F.col("ordinal") / BLOCK_RANGE).cast("int"))
+    for fid, f in enumerate(INDEXED_FIELDS):
+        o = docs.select(
+            "ordinal",
+            F.col(norm_col(f)).alias("norm"),
+            F.posexplode(analysis.tokens(f)).alias("pos", "term"),
+        ).select(
+            "term",
+            (
+                F.lit(fid << PACK_FID_SHIFT)
+                + F.shiftleft(F.col("ordinal"), PACK_ORD_SHIFT)
+                + F.shiftleft(F.col("pos").cast("long"), PACK_NORM_BITS)
+                + F.col("norm").cast("long")
+            ).alias("packed"),
         )
         occ = o if occ is None else occ.unionByName(o)
     p = partitions or spark.sparkContext.defaultParallelism
-    postings = (
-        occ.repartition(p, "field", "term", "bk")
-        .sortWithinPartitions("field", "term", "bk", "ordinal", "pos")
-        .mapInPandas(_encode_partition, schema=POSTINGS_SCHEMA)
-    )
-    # write straight from the encode pass: files are (field, term, bk)-sorted
+    # NO Spark-side sort: the Arrow kernel dictionary-encodes + int-sorts the
+    # partition columnar-side (see _encode_partition), which measurably beats
+    # UnsafeExternalSorter on memory bandwidth — the scaling-rule resource.
+    postings = occ.repartition(
+        p, F.col("term"), F.shiftright(F.col("packed"), PACK_FIDBK_SHIFT)
+    ).mapInArrow(_encode_partition, schema=POSTINGS_SCHEMA)
+    # write straight from the encode pass: files are (term, fid, bk)-sorted
     # within each hash partition, so parquet row-group min/max stats prune term
     # scans; a range repartition here would re-run the whole encode chain to
     # sample.
@@ -321,12 +421,6 @@ def build_segment(
         .parquet(store.term_stats_path(seg_id))
     )
 
-    sums = docs.agg(
-        F.count(F.lit(1)),
-        *[F.coalesce(F.sum(dl_col(f)), F.lit(0)) for f in INDEXED_FIELDS],
-    ).first()
-    n_docs = int(sums[0])
-    field_sum_dl = {f: int(sums[1 + i]) for i, f in enumerate(INDEXED_FIELDS)}
     docs.unpersist()
     meta = SegmentMeta(
         segment_id=seg_id,

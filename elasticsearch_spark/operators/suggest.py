@@ -18,10 +18,17 @@ from pyspark.sql import functions as F
 from ..functions import analysis
 
 
-def analyze_api(spark, text: str) -> DataFrame:
-    """_analyze: tokens with positions/offsets for a given text (debug)."""
+def analyze_api(spark, text: str, analyzer: str | dict = "standard") -> DataFrame:
+    """_analyze: tokens with positions for a given text under any registered
+    or custom analyzer chain (TransportAnalyzeAction.java:73; named analyzers
+    from functions/analyzers.py, e.g. 'whitespace', 'english_light', or a
+    {"tokenizer": ..., "filters": [...]} spec)."""
+    from ..functions import analyzers
+
     df = spark.createDataFrame([(text,)], "text string")
-    toks = df.select(F.posexplode(analysis.tokens("text")).alias("position", "token"))
+    toks = df.select(
+        F.posexplode(analyzers.tokens("text", analyzer)).alias("position", "token")
+    )
     return toks.select("token", "position")
 
 
@@ -50,10 +57,38 @@ def term_suggest(
         return docs.sparkSession.createDataFrame([], "input string, suggestion string, distance int, df long")
     td = term_dictionary(docs, text_col).where(F.col("df") >= min_df)
     inputs = docs.sparkSession.createDataFrame([(t,) for t in terms], "input string")
-    # candidate pruning before levenshtein: length band +- max_edits and
-    # shared first letter (standard speedup; at scale use ngram prefiltering)
-    cand = td.crossJoin(F.broadcast(inputs)).where(
-        (F.abs(F.length("term") - F.length("input")) <= max_edits)
+    # Candidate generation WITHOUT a dictionary-wide crossJoin: by the q-gram
+    # lemma (q=2), edit distance <= e implies the two strings share >= 1
+    # bigram whenever max(len) >= 2e+2 — so LONG dictionary terms reach the
+    # levenshtein check through an equi-join on shared bigrams (web-scale
+    # vocabularies are long-tail-long), and only the bounded set of SHORT
+    # terms (len < 2e+2, no lemma guarantee) is scanned via the length band.
+    short_len = 2 * max_edits + 2
+
+    def bigrams(col: str):
+        c = F.col(col)
+        return F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(c) - 1, F.lit(1))),
+                    lambda i: F.when(i + 1 <= F.length(c), F.substring(c, i, 2)),
+                ),
+                lambda g: g.isNotNull(),
+            )
+        )
+
+    t_grams = td.select("term", "df", F.explode(bigrams("term")).alias("_g"))
+    i_grams = inputs.select("input", F.explode(bigrams("input")).alias("_g"))
+    joined = (
+        t_grams.join(F.broadcast(i_grams), "_g")
+        .select("term", "df", "input")
+        .dropDuplicates(["term", "input"])
+    )
+    shorts = td.where(F.length("term") < short_len).crossJoin(F.broadcast(inputs))
+    cand = (
+        joined.unionByName(shorts)
+        .dropDuplicates(["term", "input"])
+        .where(F.abs(F.length("term") - F.length("input")) <= max_edits)
     )
     cand = cand.withColumn("distance", F.levenshtein("term", "input")).where(
         F.col("distance") <= max_edits

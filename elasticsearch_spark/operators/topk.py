@@ -80,6 +80,27 @@ class PhraseLeaf:
 
 
 @dataclass
+class IntervalsLeaf:
+    """intervals `match` source / span_near positions algebra
+    (IntervalQueryBuilder.java reg SearchModule.java:835,
+    SpanNearQueryBuilder.java reg :804): ordered = exists p1<...<pm with
+    pm-p1-(m-1) <= max_gaps; unordered arity <= 2 pairwise. Constant 1.0
+    score per matching doc (documented divergence: Lucene saturates by
+    1/(1+slop) over minimal interval width, IntervalScoreFunction).
+    first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
+    occurrence must sit at position < first_end. not_terms (span_not,
+    SpanNotQueryBuilder reg :806): single-term occurrence must not share a
+    position with any excluded term."""
+
+    field: str
+    terms: list[str]
+    ordered: bool = False
+    max_gaps: int = -1
+    first_end: int | None = None
+    not_terms: list[str] | None = None
+
+
+@dataclass
 class ChannelLeaf:
     """Docs-side clause: matches when the doc has a row in channel `fid`.
     Scores `const` (ConstantScore rewrites: term-filter 1.0, keyword-idf) or
@@ -540,6 +561,32 @@ class _Lowerer:
             return TermsLeaf(field=col, terms=list(dict.fromkeys(terms)), need_fid=fid)
         if kind == "more_like_this":
             return self.mlt_leaf(body)
+        if kind == "intervals":
+            (field_, spec), = body.items()
+            if field_ not in INDEXED_FIELDS:
+                raise ValueError(f"intervals on non-indexed field {field_}")
+            src = spec["match"]
+            qterms = analysis.analyze(src["query"])
+            ordered = bool(src.get("ordered", False))
+            not_q = src.get("not_query")
+            not_terms = analysis.analyze(not_q) if not_q else None
+            first_end = src.get("first_end")
+            if len(qterms) > 2 and not ordered:
+                raise ValueError("unordered intervals support arity <= 2")
+            if first_end is not None and len(qterms) != 1:
+                raise ValueError("first_end (span_first) supports a single term")
+            if not_terms and not (ordered or len(qterms) == 1):
+                raise ValueError("not_query (span_not) needs ordered or single-term")
+            if not qterms:
+                return TermsLeaf(field=field_, terms=[], need=1)  # matches nothing
+            return IntervalsLeaf(
+                field=field_,
+                terms=qterms,
+                ordered=ordered,
+                max_gaps=int(src.get("max_gaps", -1)),
+                first_end=None if first_end is None else int(first_end),
+                not_terms=not_terms,
+            )
         raise ValueError(f"indexed path cannot lower: {kind}")
 
     def _expr_max(self, sql: str) -> float:
@@ -597,6 +644,11 @@ def _tree_children(node) -> list:
 def _collect_ft(node, out: set, phrases: set):
     if isinstance(node, TermsLeaf):
         out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, IntervalsLeaf):
+        fts = {(node.field, t) for t in node.terms}
+        fts |= {(node.field, t) for t in (node.not_terms or [])}
+        out.update(fts)
+        phrases.update(fts)  # positions must be decoded
     elif isinstance(node, PhraseLeaf):
         fts = {(node.field, t) for t in node.terms}
         if node.prefix_expansions is not None:
@@ -611,7 +663,7 @@ def _anchored(node) -> bool:
     """True iff every match of `node` requires >= 1 postings-leaf hit, so the
     kernel candidate set (docs appearing in the query terms' postings) is
     complete. Non-anchored trees run the docs-only plan."""
-    if isinstance(node, (TermsLeaf, PhraseLeaf)):
+    if isinstance(node, (TermsLeaf, PhraseLeaf, IntervalsLeaf)):
         return True
     if isinstance(node, ChannelLeaf):
         return False
@@ -736,6 +788,12 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 ad = avgdl.get(node.field, 1.0)
                 ub = node.weight * kp1 * m / (m + k1 * (1.0 - b + b * mindlq / ad))
                 return True, float(ub)
+            if isinstance(node, IntervalsLeaf):
+                # every interval term must sit in the doc => in the doc's block
+                for t in set(node.terms):
+                    if (node.field, t) not in pres:
+                        return False, 0.0
+                return True, 1.0
             if isinstance(node, ChannelLeaf):
                 if node.const is not None:
                     return True, node.const
@@ -864,6 +922,79 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 match[ii] = True
                 score[ii] = sc
                 return match, score
+            if isinstance(node, IntervalsLeaf):
+                # all occurrence-key math stays inside one doc because the
+                # ordinal occupies the high bits: a searchsorted neighbor from
+                # another doc fails the high-bits equality check
+                def keys_of(t):
+                    e = env.get((node.field, t))
+                    return None if e is None else e[3]
+
+                m_ = len(node.terms)
+                ks = [keys_of(t) for t in node.terms]
+                if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
+                    return np.zeros(n, dtype=bool), np.zeros(n)
+                if m_ == 1:
+                    k0 = ks[0]
+                    if node.first_end is not None:
+                        k0 = k0[(k0 & ((1 << _POS_SHIFT) - 1)) < node.first_end]
+                    if node.not_terms:
+                        ex = [keys_of(t) for t in node.not_terms]
+                        ex = [e for e in ex if e is not None and len(e)]
+                        if ex:
+                            k0 = k0[~np.isin(k0, np.concatenate(ex))]
+                    hit_docs = np.unique(k0 >> _POS_SHIFT)
+                elif node.ordered:
+                    # greedy minimal chain per start: the smallest valid
+                    # successor at every step minimizes final width, so a
+                    # failed greedy chain has no valid chain from that start
+                    start = ks[0]
+                    cur = start.copy()
+                    alive = np.ones(len(cur), dtype=bool)
+                    for i in range(1, m_):
+                        arr = ks[i]
+                        idx = np.searchsorted(arr, cur + 1)
+                        ok = idx < len(arr)
+                        cand = arr[np.minimum(idx, len(arr) - 1)]
+                        ok &= (cand >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+                        alive &= ok
+                        cur = np.where(alive, cand, cur)
+                    good = alive
+                    if node.max_gaps >= 0:
+                        good = good & ((cur - start - (m_ - 1)) <= node.max_gaps)
+                    if node.not_terms:
+                        # span_not over a span_near include: drop chains whose
+                        # [start, end] window contains an excluded occurrence.
+                        # The greedy (minimal) chain suffices: a wider chain
+                        # from the same start spans a superset of positions.
+                        ex = [keys_of(t) for t in node.not_terms]
+                        ex = [e for e in ex if e is not None and len(e)]
+                        if ex:
+                            exk = np.unique(np.concatenate(ex))
+                            idx_e = np.searchsorted(exk, start)
+                            in_win = (idx_e < len(exk)) & (
+                                exk[np.minimum(idx_e, len(exk) - 1)] <= cur
+                            )
+                            good = good & ~in_win
+                    hit_docs = np.unique(start[good] >> _POS_SHIFT)
+                else:  # unordered, pairwise (arity 2 enforced at lowering)
+                    a, barr = ks[0], ks[1]
+                    idx = np.searchsorted(barr, a + 1)
+                    okr = idx < len(barr)
+                    cr = barr[np.minimum(idx, len(barr) - 1)]
+                    okr &= (cr >> _POS_SHIFT) == (a >> _POS_SHIFT)
+                    if node.max_gaps >= 0:
+                        okr &= (cr - a - 1) <= node.max_gaps
+                    idl = np.searchsorted(barr, a) - 1
+                    okl = idl >= 0
+                    cl = barr[np.maximum(idl, 0)]
+                    okl &= (cl >> _POS_SHIFT) == (a >> _POS_SHIFT)
+                    if node.max_gaps >= 0:
+                        okl &= (a - cl - 1) <= node.max_gaps
+                    hit_docs = np.unique((a[okr | okl]) >> _POS_SHIFT)
+                match = np.zeros(n, dtype=bool)
+                match[np.searchsorted(docs_u, hit_docs)] = True
+                return match, np.where(match, 1.0, 0.0)
             if isinstance(node, ChannelLeaf):
                 m = chan_presence(node.fid, docs_u)
                 if node.const is not None:
@@ -928,6 +1059,7 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
         cand_score: list[np.ndarray] = []
         theta = -np.inf
         n_kept = 0
+        topbuf = None  # running pool of the k best scores seen so far
 
         for oi in order:
             if bound_arr[oi] < 0.0:
@@ -971,10 +1103,16 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
             cand_ord.append(docs_m)
             cand_score.append(score_m)
             n_kept += len(docs_m)
-            if n_kept >= k:
-                allsc = np.concatenate(cand_score)
-                if len(allsc) >= k:
-                    theta = np.partition(allsc, -k)[-k]
+            # running top-k threshold in O(k + new) per block (a re-partition
+            # of ALL accumulated candidates each block would be quadratic on
+            # high-df queries)
+            topbuf = (
+                np.concatenate([topbuf, score_m]) if topbuf is not None else score_m
+            )
+            if len(topbuf) > k:
+                topbuf = np.partition(topbuf, -k)[-k:]
+            if len(topbuf) >= k:
+                theta = topbuf.min()
 
         if not cand_ord:
             return empty

@@ -209,6 +209,8 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     qterms = analyze(src["query"])
     max_gaps = int(src.get("max_gaps", -1))
     ordered = bool(src.get("ordered", False))
+    first_end = src.get("first_end")
+    not_terms = analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
     t = _toks(field)
 
@@ -219,13 +221,31 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             f"i -> toks[i] = {_sql_str(term)}), i -> i - 1)"
         )
 
+    def ex_pos() -> str:
+        parts = [pos(t_) for t_ in not_terms]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = f"list_concat({out}, {p_})"
+        return out
+
     if m == 0:
         cond = "false"
     elif m == 1:
-        cond = f"len({pos(qterms[0])}) > 0"
+        p0 = pos(qterms[0])
+        if first_end is not None:
+            p0 = f"list_filter({p0}, p -> p < {int(first_end)})"
+        if not_terms:
+            cond = f"len(list_filter({p0}, p -> NOT list_contains({ex_pos()}, p))) > 0"
+        else:
+            cond = f"len({p0}) > 0"
     elif ordered:
         gap = "true" if max_gaps < 0 else f"pm - p0 - {m - 1} <= {max_gaps}"
         inner = f"({gap.replace('pm', f'p{m-1}')})"
+        if not_terms:
+            inner = (
+                f"({inner} AND len(list_filter({ex_pos()}, "
+                f"q -> q >= p0 AND q <= p{m-1})) = 0)"
+            )
         for i in range(m - 1, 0, -1):
             inner = (
                 f"len(list_filter({pos(qterms[i])}, "

@@ -99,6 +99,8 @@ def normalize_query(q: dict) -> dict:
         if mtype == "most_fields":
             return {"bool": {"should": per_field, "minimum_should_match": 1}}
         raise ValueError(f"multi_match type {mtype} unsupported")
+    if kind in ("span_term", "span_or", "span_near", "span_first", "span_not"):
+        return normalize_query(_rewrite_span(kind, body))
     if kind == "match_bool_prefix":
         (field, spec), = body.items()
         if isinstance(spec, str):
@@ -114,6 +116,88 @@ def normalize_query(q: dict) -> dict:
         should.append({"prefix": {field: terms[-1]}})
         return {"bool": {"should": should, "minimum_should_match": 1}}
     return q
+
+
+def _span_terms(clause: dict) -> tuple[str, list[str]]:
+    """(field, terms) of a span_term / span_or-of-span_terms clause."""
+    (k, b), = clause.items()
+    if k == "span_term":
+        (f, v), = b.items()
+        v = v["value"] if isinstance(v, dict) else v
+        return f, [str(v).lower()]
+    if k == "span_or":
+        fields, terms = set(), []
+        for c in b["clauses"]:
+            f, ts = _span_terms(c)
+            fields.add(f)
+            terms += ts
+        if len(fields) != 1:
+            raise ValueError("span_or clauses must share one field")
+        return fields.pop(), terms
+    raise ValueError(f"span clause {k} unsupported here")
+
+
+def _rewrite_span(kind: str, body: dict) -> dict:
+    """Span family -> match / intervals rewrites (Span*QueryBuilder.java, reg
+    SearchModule.java:803-813). Single-term spans score exactly like the
+    equivalent term query (SpanTermQuery sloppyFreq == tf under BM25); span_or
+    rewrites to the OR match (documented divergence: Lucene scores the merged
+    span enumeration, we sum per-term BM25 — same matches, close scores);
+    span_near/span_first/span_not map onto the positions-interval machinery
+    with constant 1.0 scores (divergence shared with the intervals query)."""
+    if kind == "span_term":
+        f, ts = _span_terms({kind: body})
+        return {"match": {f: {"query": ts[0]}}}
+    if kind == "span_or":
+        f, ts = _span_terms({kind: body})
+        return {"match": {f: {"query": " ".join(ts)}}}
+    if kind == "span_near":
+        fields, terms = set(), []
+        for c in body["clauses"]:
+            f, ts = _span_terms(c)
+            if len(ts) != 1:
+                raise ValueError("span_near supports span_term clauses")
+            fields.add(f)
+            terms += ts
+        if len(fields) != 1:
+            raise ValueError("span_near clauses must share one field")
+        return {
+            "intervals": {
+                fields.pop(): {
+                    "match": {
+                        "query": " ".join(terms),
+                        "ordered": bool(body.get("in_order", True)),
+                        "max_gaps": int(body.get("slop", 0)),
+                    }
+                }
+            }
+        }
+    if kind == "span_first":
+        f, ts = _span_terms(body["match"])
+        if len(ts) != 1:
+            raise ValueError("span_first supports a span_term match")
+        return {
+            "intervals": {
+                f: {"match": {"query": ts[0], "first_end": int(body["end"])}}
+            }
+        }
+    if kind == "span_not":
+        (ik, ib), = body["include"].items()
+        f_ex, ex_terms = _span_terms(body["exclude"])
+        if ik == "span_term":
+            f_in, ts = _span_terms(body["include"])
+            src = {"query": ts[0]}
+        elif ik == "span_near":
+            inner = _rewrite_span("span_near", ib)
+            (f_in, sp), = inner["intervals"].items()
+            src = dict(sp["match"])
+        else:
+            raise ValueError("span_not include must be span_term or span_near")
+        if f_ex != f_in:
+            raise ValueError("span_not include/exclude must share one field")
+        src["not_query"] = " ".join(ex_terms)
+        return {"intervals": {f_in: {"match": src}}}
+    raise ValueError(kind)
 
 
 def compile_query(
@@ -327,6 +411,8 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         return Compiled(predicate=F.lit(False))
     max_gaps = int(src.get("max_gaps", -1))
     ordered = bool(src.get("ordered", False))
+    first_end = src.get("first_end")
+    not_terms = analysis.analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
     toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
@@ -338,16 +424,35 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             lambda i: F.element_at("toks", (i + 1).cast("int")) == F.lit(t),
         )
 
+    def ex_positions():
+        ps = [positions(t) for t in not_terms]
+        return ps[0] if len(ps) == 1 else F.concat(*ps)
+
     if m == 1:
-        hit = F.size(positions(qterms[0])) > 0
+        ps = positions(qterms[0])
+        if first_end is not None:
+            ps = F.filter(ps, lambda p: p < F.lit(int(first_end)))
+        if not_terms:
+            ex = ex_positions()
+            hit = F.exists(ps, lambda p: ~F.exists(ex, lambda q2: q2 == p))
+        else:
+            hit = F.size(ps) > 0
     elif ordered:
-        # exists p1 < p2 < ... < pm with pm - p1 - (m-1) <= max_gaps
+        # exists p1 < p2 < ... < pm with pm - p1 - (m-1) <= max_gaps, and
+        # (span_not) no excluded occurrence inside [p1, pm]
         def nest(i: int, prev, first):
             ps = positions(qterms[i])
             if i == m - 1:
-                cond = lambda p: (p > prev) & (
-                    F.lit(True) if max_gaps < 0 else (p - first - (m - 1) <= max_gaps)
-                )
+                def cond(p):
+                    c = p > prev
+                    if max_gaps >= 0:
+                        c = c & (p - first - (m - 1) <= max_gaps)
+                    if not_terms:
+                        c = c & ~F.exists(
+                            ex_positions(), lambda q2: (q2 >= first) & (q2 <= p)
+                        )
+                    return c
+
                 return F.exists(ps, cond)
             return F.exists(ps, lambda p: nest(i + 1, p, first))
 

@@ -129,14 +129,55 @@ SEARCH_QUERIES: dict[str, dict] = {
     },
 }
 
-# intervals queries (positions semantics; logical path only — registered as
-# search_* without an indexed_* twin, operators/topk lower_query raises)
+# intervals queries (positions semantics; run on BOTH the logical path and
+# the segment-store kernel — IntervalsLeaf decodes the indexed positions)
 INTERVALS_QUERIES: dict[str, dict] = {
     "intervals_ordered": {
         "intervals": {"text": {"match": {"query": "join table", "ordered": True, "max_gaps": 2}}}
     },
     "intervals_unordered": {
         "intervals": {"text": {"match": {"query": "scan filter", "max_gaps": 3}}}
+    },
+}
+
+# span family (Span*QueryBuilder.java reg SearchModule.java:803-813), rewritten
+# by plans.query_dsl._rewrite_span onto match / intervals; both paths + oracle
+SPAN_QUERIES: dict[str, dict] = {
+    "span_near_ordered": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "join"}},
+                {"span_term": {"text": "table"}},
+            ],
+            "slop": 2,
+            "in_order": True,
+        }
+    },
+    "span_first": {
+        "span_first": {"match": {"span_term": {"text": "query"}}, "end": 3}
+    },
+    "span_not": {
+        "span_not": {
+            "include": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "join"}},
+                        {"span_term": {"text": "table"}},
+                    ],
+                    "slop": 3,
+                    "in_order": True,
+                }
+            },
+            "exclude": {"span_term": {"text": "hash"}},
+        }
+    },
+    "span_or_terms": {
+        "span_or": {
+            "clauses": [
+                {"span_term": {"text": "scan"}},
+                {"span_term": {"text": "filter"}},
+            ]
+        }
     },
 }
 

@@ -1,0 +1,128 @@
+"""Intervals + span family: indexed kernel == logical path == hand-derived
+matches on a crafted corpus (positions algebra, IntervalQueryBuilder.java /
+Span*QueryBuilder.java reg SearchModule.java:803-813,835)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from elasticsearch_spark.operators import index_build, topk
+from elasticsearch_spark.plans import query_dsl as Q
+from elasticsearch_spark.queryset import INTERVALS_QUERIES, SPAN_QUERIES
+
+KEYS = ["conv_id", "turn_idx"]
+
+ALL_QUERIES = list(INTERVALS_QUERIES.values()) + list(SPAN_QUERIES.values())
+
+
+@pytest.fixture(scope="module")
+def store(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("spans_idx"))
+    return index_build.build_index(spark, transcripts, root, n_slices=1, partitions=4)
+
+
+@pytest.mark.parametrize("qi", range(len(ALL_QUERIES)))
+def test_indexed_equals_logical(spark, transcripts, store, qi):
+    qd = ALL_QUERIES[qi]
+    want = [tuple(r) for r in Q.search(transcripts, qd, KEYS, k=10).collect()]
+    got = [tuple(r) for r in topk.search_indexed(spark, store, qd, k=10).collect()]
+    assert got == want
+
+
+# ---- crafted corpus: positions are hand-checkable ----
+TEXTS = {
+    0: "alpha beta gamma delta",          # alpha..delta ordered, gaps 0
+    1: "beta alpha x y gamma",            # alpha->gamma gap 2, beta before alpha
+    2: "alpha x x x gamma",               # alpha->gamma gap 3
+    3: "gamma beta alpha",                # reverse order
+    4: "alpha gamma alpha zeta",          # multiple starts
+    5: "alpha beta hash gamma",           # hash inside alpha..gamma window
+    6: "hash alpha beta gamma",           # hash before window
+    7: "alpha",                           # single term at position 0
+    8: "x y z alpha",                     # alpha at position 3
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_store(spark, tmp_path_factory):
+    rows = [
+        ("c0", i, "user", t, "search", datetime.datetime(2024, 1, 1, 0, 0, i))
+        for i, t in TEXTS.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    root = str(tmp_path_factory.mktemp("tiny_spans"))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+    return df, store
+
+
+def _hits(spark, tiny_store, qd):
+    df, store = tiny_store
+    logical = sorted(r.turn_idx for r in Q.search(df, qd, KEYS, k=100).collect())
+    indexed = sorted(
+        r.turn_idx for r in topk.search_indexed(spark, store, qd, k=100).collect()
+    )
+    assert logical == indexed
+    return indexed
+
+
+def test_ordered_max_gaps(spark, tiny_store):
+    qd = {"intervals": {"text": {"match": {"query": "alpha gamma", "ordered": True, "max_gaps": 2}}}}
+    # widths: doc0 gap 1, doc1 gap 2, doc2 gap 3 (out), doc3 reverse (out),
+    # doc4 gap 0, doc5 gap 2, doc6 gap 1
+    assert _hits(spark, tiny_store, qd) == [0, 1, 4, 5, 6]
+
+
+def test_unordered_pair(spark, tiny_store):
+    qd = {"intervals": {"text": {"match": {"query": "alpha gamma", "max_gaps": 1}}}}
+    # any order, |a-b|-1 <= 1: doc0 (1), doc3 (1), doc4 (0), doc6 (1)
+    assert _hits(spark, tiny_store, qd) == [0, 3, 4, 6]
+
+
+def test_span_first(spark, tiny_store):
+    qd = {"span_first": {"match": {"span_term": {"text": "alpha"}}, "end": 2}}
+    # alpha at position < 2: docs 0,2,4,5,7 (pos 0) + doc1 (pos 1) + doc6 (pos 1)
+    assert _hits(spark, tiny_store, qd) == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_span_not_window(spark, tiny_store):
+    qd = {
+        "span_not": {
+            "include": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "alpha"}},
+                        {"span_term": {"text": "gamma"}},
+                    ],
+                    "slop": 3,
+                    "in_order": True,
+                }
+            },
+            "exclude": {"span_term": {"text": "hash"}},
+        }
+    }
+    # alpha..gamma windows with no 'hash' inside: doc5's window contains hash
+    # (drop); doc6's hash sits BEFORE the window (keep)
+    assert _hits(spark, tiny_store, qd) == [0, 1, 2, 4, 6]
+
+
+def test_span_term_scores_like_term_match(spark, tiny_store):
+    df, store = tiny_store
+    a = topk.search_indexed(spark, store, {"span_term": {"text": "gamma"}}, k=100).collect()
+    b = topk.search_indexed(spark, store, {"match": {"text": "gamma"}}, k=100).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_span_or_is_or_match(spark, tiny_store):
+    qd = {
+        "span_or": {
+            "clauses": [
+                {"span_term": {"text": "beta"}},
+                {"span_term": {"text": "zeta"}},
+            ]
+        }
+    }
+    assert _hits(spark, tiny_store, qd) == [0, 1, 3, 4, 5, 6]
