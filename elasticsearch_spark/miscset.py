@@ -141,6 +141,73 @@ ORDER BY conv_id, turn_idx"""
     )
 
 
+# --- Percolate (modules/percolator/): docs with turn_idx <= 1 percolated
+# against four stored match/term queries; oracle = one hand-written SQL arm
+# per stored query over the same token algebra
+PERCOLATE_QUERIES = {
+    "q_match_or": {"match": {"text": "spark query fast"}},
+    "q_match_and": {"match": {"text": {"query": "join table", "operator": "and"}}},
+    "q_msm": {"match": {"text": {"query": "window agg stream", "minimum_should_match": 2}}},
+    "q_term": {"term": {"text": "customer"}},
+}
+
+
+def fx_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import percolate as P
+
+    docs = TR.transcripts_view(spark, sf_dir).where("turn_idx <= 1")
+    return P.percolate(docs, PERCOLATE_QUERIES)
+
+
+def _percolate_arm(qid: str, terms: list[str], need: int) -> str:
+    lits = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"SELECT conv_id, turn_idx, '{qid}' AS query_id FROM transcripts "
+        f"WHERE turn_idx <= 1 AND len(list_filter(list_distinct({_TOKS}), "
+        f"t -> list_contains([{lits}], t))) >= {need}"
+    )
+
+
+_PERCOLATE_ORACLE = (
+    TRANSCRIPTS_CTE
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        [
+            _percolate_arm("q_match_or", ["spark", "query", "fast"], 1),
+            _percolate_arm("q_match_and", ["join", "table"], 2),
+            _percolate_arm("q_msm", ["window", "agg", "stream"], 2),
+            _percolate_arm("q_term", ["customer"], 1),
+        ]
+    )
+    + "\n) ORDER BY conv_id, turn_idx, query_id"
+)
+
+# --- Search template (modules/lang-mustache/): render {{param}} placeholders
+# into a query body, then run it; the oracle runs the rendered query
+SEARCH_TEMPLATE = {
+    "match": {
+        "text": {"query": "{{q}}", "minimum_should_match": "{{msm}}"}
+    }
+}
+TEMPLATE_PARAMS = {"q": "window agg stream batch", "msm": 3}
+
+
+def fx_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans import query_dsl as Q
+    from .plans.templates import render_template
+
+    body = render_template(SEARCH_TEMPLATE, TEMPLATE_PARAMS)
+    docs = TR.transcripts_view(spark, sf_dir)
+    return Q.search(docs, body, ["conv_id", "turn_idx"], k=10)
+
+
+def _template_oracle() -> str:
+    from . import oracle
+    from .plans.templates import render_template
+
+    return oracle.search_sql(render_template(SEARCH_TEMPLATE, TEMPLATE_PARAMS), 10)
+
+
 MISC_QUERY_FNS = {
     "ingest_pipeline": fx_ingest,
     "suggest_term": fx_term_suggest,
@@ -148,6 +215,8 @@ MISC_QUERY_FNS = {
     "analyze_tokens": fx_analyze,
     "doc_get": fx_get,
     "doc_multi_get": fx_multi_get,
+    "percolate_stored": fx_percolate,
+    "search_template_match": fx_search_template,
 }
 
 MISC_ORACLE_SQL = {
@@ -157,4 +226,6 @@ MISC_ORACLE_SQL = {
     "analyze_tokens": _ANALYZE_ORACLE,
     "doc_get": _get_oracle(_GET_IDS[:1]),
     "doc_multi_get": _get_oracle(_GET_IDS),
+    "percolate_stored": _PERCOLATE_ORACLE,
+    "search_template_match": _template_oracle(),
 }

@@ -1,0 +1,86 @@
+"""Percolate (reverse search) and search-template rendering.
+
+Reference: modules/percolator/ (PercolateQueryBuilder.java, QueryAnalyzer.java
+candidate extraction) and modules/lang-mustache/ (MustacheScriptEngine.java).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_spark.operators import percolate as P
+from elasticsearch_spark.plans.templates import render_template
+
+
+class TestPercolate:
+    def test_match_or_and_msm_term(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", 0, "spark runs the query engine"),
+                ("c2", 0, "join the table with another table"),
+                ("c3", 0, "window agg over a stream"),
+                ("c4", 0, "the customer placed an order"),
+                ("c5", 0, "nothing relevant here"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {
+            "q_or": {"match": {"text": "spark query fast"}},
+            "q_and": {"match": {"text": {"query": "join table", "operator": "and"}}},
+            "q_msm": {"match": {"text": {"query": "window agg stream", "minimum_should_match": 2}}},
+            "q_term": {"term": {"text": "customer"}},
+        }
+        got = {(r.conv_id, r.query_id) for r in P.percolate(docs, stored).collect()}
+        assert got == {("c1", "q_or"), ("c2", "q_and"), ("c3", "q_msm"), ("c4", "q_term")}
+
+    def test_and_requires_all_terms(self, spark):
+        docs = spark.createDataFrame(
+            [("c1", 0, "join without the other word")],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {"q": {"match": {"text": {"query": "join table", "operator": "and"}}}}
+        assert P.percolate(docs, stored).count() == 0
+
+    def test_terms_query_and_duplicate_doc_tokens(self, spark):
+        # duplicate tokens in the doc must not double-count toward msm
+        docs = spark.createDataFrame(
+            [("c1", 0, "alpha alpha alpha")],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {"q": {"match": {"text": {"query": "alpha beta", "minimum_should_match": 2}}}}
+        assert P.percolate(docs, stored).count() == 0
+        stored2 = {"q": {"terms": {"text": ["alpha", "zzz"]}}}
+        assert P.percolate(docs, stored2).count() == 1
+
+    def test_unsupported_kind_raises(self, spark):
+        docs = spark.createDataFrame(
+            [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
+        )
+        with pytest.raises(ValueError, match="cannot index"):
+            P.percolate(docs, {"q": {"match_phrase": {"text": "a b"}}})
+
+
+class TestTemplates:
+    def test_string_interpolation(self):
+        out = render_template({"match": {"text": "find {{q}} now"}}, {"q": "spark"})
+        assert out == {"match": {"text": "find spark now"}}
+
+    def test_whole_scalar_keeps_native_type(self):
+        out = render_template(
+            {"match": {"text": {"query": "{{q}}", "minimum_should_match": "{{msm}}"}}},
+            {"q": "a b c", "msm": 2},
+        )
+        assert out["match"]["text"]["minimum_should_match"] == 2
+        out2 = render_template({"terms": {"text": "{{vals}}"}}, {"vals": ["x", "y"]})
+        assert out2 == {"terms": {"text": ["x", "y"]}}
+
+    def test_conditional_section_key(self):
+        tpl = {"bool": {"must": [{"match": {"text": "{{q}}"}}],
+                        "{{#use_filter}}filter{{/use_filter}}": [{"term": {"role": "user"}}]}}
+        with_f = render_template(tpl, {"q": "a", "use_filter": True})
+        without = render_template(tpl, {"q": "a", "use_filter": False})
+        assert "filter" in with_f["bool"] and "filter" not in without["bool"]
+
+    def test_missing_param_raises(self):
+        with pytest.raises(KeyError, match="missing template param"):
+            render_template({"match": {"text": "{{q}}"}}, {})
