@@ -41,6 +41,9 @@ BENCH_QUERY_NAMES = [
     "match_single_term",
     "bool_must_filter",
     "bool_must_not",
+    # phrase vs its match twin: evidences that phrase clauses keep block-max
+    # pruning (a phrase should stay within ~2x of the equivalent match)
+    "match_phrase_topk",
 ]
 
 TURNS_PER_SF = 2_000_000  # sf0.1 -> 200k synthetic turns

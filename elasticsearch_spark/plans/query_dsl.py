@@ -101,6 +101,13 @@ def normalize_query(q: dict) -> dict:
         raise ValueError(f"multi_match type {mtype} unsupported")
     if kind in ("span_term", "span_or", "span_near", "span_first", "span_not"):
         return normalize_query(_rewrite_span(kind, body))
+    if kind == "span_multi":
+        # SpanMultiTermQueryWrapper (reg SearchModule.java:807): at the top
+        # level the wrapper scores exactly like the wrapped multi-term query's
+        # constant-score rewrite, so it normalizes to its inner query. Nested
+        # inside span_near/span_not it would need term-dictionary expansion at
+        # position-algebra build time — unsupported (raises in _span_terms).
+        return normalize_query(body["match"])
     if kind == "match_bool_prefix":
         (field, spec), = body.items()
         if isinstance(spec, str):
@@ -492,30 +499,48 @@ def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:
 
     like_ids = [x["_id"] for x in like if isinstance(x, dict)]
     like_texts = [x for x in like if isinstance(x, str)]
-    import math
-    from collections import Counter
 
+    # Term selection runs as ONE DataFrame job; the driver only collects the
+    # <= max_query_terms selected terms (25 rows), never liked-doc text or
+    # per-term stats — liked docs may be arbitrarily many/long at scale.
+    liked_tok = None
     if like_ids:
         idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
-        rows = ctx.docs.where(idc.isin(like_ids)).select(field).collect()
-        like_texts += [r[0] for r in rows]
-    tf = Counter()
-    for t in like_texts:
-        tf.update(analysis.analyze(t))
-    cand = sorted(t for t, c in tf.items() if c >= mtf)
-    if not cand:
+        liked_tok = ctx.docs.where(idc.isin(like_ids)).select(
+            F.explode(analysis.tokens(field)).alias("term")
+        )
+    if like_texts:
+        txt = ctx.docs.sparkSession.createDataFrame(
+            [(t,) for t in like_texts], f"{field} string"
+        ).select(F.explode(analysis.tokens(field)).alias("term"))
+        liked_tok = txt if liked_tok is None else liked_tok.unionByName(txt)
+    if liked_tok is None:
         return Compiled(predicate=F.lit(False))
-    stats = M.corpus_stats(ctx.docs, ctx.key_cols, cand, field)
-    df_rows = {r.term: r.df for r in stats.term_df.collect()}
-    n_docs = stats.n_and_avgdl.first().n_docs
-    scored_terms = []
-    for t in cand:
-        df_t = df_rows.get(t, 0)
-        if df_t < mdf:
-            continue
-        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-        scored_terms.append((-tf[t] * idf, t))
-    sel = [t for _, t in sorted(scored_terms)[:mqt]]
+    ltf = (
+        liked_tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ltf"))
+        .where(F.col("ltf") >= mtf)
+    )
+    # corpus df pruned to candidate terms BEFORE the groupBy shuffle
+    dfc = (
+        ctx.docs.select(
+            F.explode(F.array_distinct(analysis.tokens(field))).alias("term")
+        )
+        .join(F.broadcast(ltf), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.first("ltf").alias("ltf"))
+        .where(F.col("df") >= mdf)
+    )
+    stats0 = M.corpus_stats(ctx.docs, ctx.key_cols, [], field)
+    sal = F.col("ltf") * F.expr(scoring.idf_sql("n_docs", "df"))
+    sel = [
+        r.term
+        for r in dfc.crossJoin(F.broadcast(stats0.n_and_avgdl))
+        .select("term", sal.alias("sal"))
+        .orderBy(F.desc("sal"), F.asc("term"))
+        .limit(mqt)
+        .collect()
+    ]
     if not sel:
         return Compiled(predicate=F.lit(False))
     if isinstance(msm_raw, str) and msm_raw.endswith("%"):

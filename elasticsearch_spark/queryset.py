@@ -179,6 +179,9 @@ SPAN_QUERIES: dict[str, dict] = {
             ]
         }
     },
+    "span_multi_prefix": {
+        "span_multi": {"match": {"prefix": {"text": "qu"}}}
+    },
 }
 
 # cursoring fixtures (operators/cursor.py): (sort_cols, after, size) etc.
