@@ -90,7 +90,11 @@ class IntervalsLeaf:
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
-    position with any excluded term."""
+    position with any excluded term. within_terms (span_within /
+    span_containing, reg :805,809): the single little term must sit inside
+    an ordered big chain [pb, pc] with pc-pb-1 <= within_gaps; both builders
+    match the same DOCUMENT set (they differ only in which span stream they
+    emit, invisible at doc granularity — documented divergence)."""
 
     field: str
     terms: list[str]
@@ -98,6 +102,8 @@ class IntervalsLeaf:
     max_gaps: int = -1
     first_end: int | None = None
     not_terms: list[str] | None = None
+    within_terms: list[str] | None = None
+    within_gaps: int = -1
 
 
 @dataclass
@@ -571,6 +577,13 @@ class _Lowerer:
             not_q = src.get("not_query")
             not_terms = analysis.analyze(not_q) if not_q else None
             first_end = src.get("first_end")
+            within_q = src.get("within_query")
+            within_terms = analysis.analyze(within_q) if within_q else None
+            if within_terms is not None:
+                if len(qterms) != 1 or not_terms or first_end is not None:
+                    raise ValueError("within_query needs a bare single term")
+                if not 1 <= len(within_terms) <= 2:
+                    raise ValueError("within_query big chain supports arity <= 2")
             if len(qterms) > 2 and not ordered:
                 raise ValueError("unordered intervals support arity <= 2")
             if first_end is not None and len(qterms) != 1:
@@ -586,6 +599,8 @@ class _Lowerer:
                 max_gaps=int(src.get("max_gaps", -1)),
                 first_end=None if first_end is None else int(first_end),
                 not_terms=not_terms,
+                within_terms=within_terms,
+                within_gaps=int(src.get("within_gaps", -1)),
             )
         raise ValueError(f"indexed path cannot lower: {kind}")
 
@@ -647,6 +662,7 @@ def _collect_ft(node, out: set, phrases: set):
     elif isinstance(node, IntervalsLeaf):
         fts = {(node.field, t) for t in node.terms}
         fts |= {(node.field, t) for t in (node.not_terms or [])}
+        fts |= {(node.field, t) for t in (node.within_terms or [])}
         out.update(fts)
         phrases.update(fts)  # positions must be decoded
     elif isinstance(node, PhraseLeaf):
@@ -790,7 +806,8 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 return True, float(ub)
             if isinstance(node, IntervalsLeaf):
                 # every interval term must sit in the doc => in the doc's block
-                for t in set(node.terms):
+                # (within-chain terms are required too; not_terms are not)
+                for t in set(node.terms) | set(node.within_terms or []):
                     if (node.field, t) not in pres:
                         return False, 0.0
                 return True, 1.0
@@ -934,6 +951,35 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 ks = [keys_of(t) for t in node.terms]
                 if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
                     return np.zeros(n, dtype=bool), np.zeros(n)
+                if node.within_terms is not None:
+                    # span_within / span_containing: little occurrence q must
+                    # sit inside a big chain. The minimal-width ENCLOSING pair
+                    # is (max pb <= q, min pc >= q), so if that pair violates
+                    # within_gaps no other enclosing pair can satisfy it.
+                    q = ks[0]
+                    wks = [keys_of(t) for t in node.within_terms]
+                    if any(w is None or not len(w) for w in wks):
+                        return np.zeros(n, dtype=bool), np.zeros(n)
+                    if len(wks) == 1:
+                        # big = single-term span [pb, pb]: q must equal pb
+                        good = np.isin(q, wks[0])
+                    else:
+                        barr, carr = wks[0], wks[1]
+                        ib = np.searchsorted(barr, q, side="right") - 1
+                        okb = ib >= 0
+                        pb = barr[np.maximum(ib, 0)]
+                        okb &= (pb >> _POS_SHIFT) == (q >> _POS_SHIFT)
+                        ic = np.searchsorted(carr, q, side="left")
+                        okc = ic < len(carr)
+                        pc = carr[np.minimum(ic, len(carr) - 1)]
+                        okc &= (pc >> _POS_SHIFT) == (q >> _POS_SHIFT)
+                        good = okb & okc & (pc > pb)
+                        if node.within_gaps >= 0:
+                            good &= (pc - pb - 1) <= node.within_gaps
+                    hit_docs = np.unique(q[good] >> _POS_SHIFT)
+                    match = np.zeros(n, dtype=bool)
+                    match[np.searchsorted(docs_u, hit_docs)] = True
+                    return match, np.where(match, 1.0, 0.0)
                 if m_ == 1:
                     k0 = ks[0]
                     if node.first_end is not None:

@@ -228,6 +228,31 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             out = f"list_concat({out}, {p_})"
         return out
 
+    within_q = src.get("within_query")
+    if within_q:
+        # twin of _intervals' within branch (span_within / span_containing):
+        # little occurrence q enclosed by a big ordered chain [pb, pc]
+        wt = analyze(within_q)
+        wg = int(src.get("within_gaps", -1))
+        pq = pos(qterms[0])
+        if len(wt) == 1:
+            cond = f"len(list_filter({pq}, q -> list_contains({pos(wt[0])}, q))) > 0"
+        else:
+            gap = "true" if wg < 0 else f"pc - pb - 1 <= {wg}"
+            cond = (
+                f"len(list_filter({pq}, q -> "
+                f"len(list_filter({pos(wt[0])}, pb -> pb <= q AND "
+                f"len(list_filter({pos(wt[1])}, pc -> pc >= q AND pc > pb "
+                f"AND {gap})) > 0)) > 0)) > 0"
+            )
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 AS score
+  FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+  WHERE {cond}
+)"""
+        return c, a
+
     if m == 0:
         cond = "false"
     elif m == 1:

@@ -99,7 +99,10 @@ def normalize_query(q: dict) -> dict:
         if mtype == "most_fields":
             return {"bool": {"should": per_field, "minimum_should_match": 1}}
         raise ValueError(f"multi_match type {mtype} unsupported")
-    if kind in ("span_term", "span_or", "span_near", "span_first", "span_not"):
+    if kind in (
+        "span_term", "span_or", "span_near", "span_first", "span_not",
+        "span_within", "span_containing",
+    ):
         return normalize_query(_rewrite_span(kind, body))
     if kind == "span_multi":
         # SpanMultiTermQueryWrapper (reg SearchModule.java:807): at the top
@@ -204,6 +207,48 @@ def _rewrite_span(kind: str, body: dict) -> dict:
             raise ValueError("span_not include/exclude must share one field")
         src["not_query"] = " ".join(ex_terms)
         return {"intervals": {f_in: {"match": src}}}
+    if kind in ("span_within", "span_containing"):
+        # SpanWithinQueryBuilder reg :805 / SpanContainingQueryBuilder reg
+        # :809: little span enclosed by a big span. At document granularity
+        # the two match the SAME set (they differ only in which span stream
+        # feeds outer span algebra, which we don't compose) — divergence
+        # documented; both rewrite to the containment intervals source.
+        f_l, lts = _span_terms(body["little"])
+        if len(lts) != 1:
+            raise ValueError("span_within/containing little must be a span_term")
+        (bk, bb), = body["big"].items()
+        if bk == "span_term":
+            f_b, bts = _span_terms(body["big"])
+            gaps = -1
+        elif bk == "span_near":
+            if not bool(bb.get("in_order", True)):
+                raise ValueError("span_within/containing big span_near must be in_order")
+            fields, bts = set(), []
+            for c in bb["clauses"]:
+                f_c, ts = _span_terms(c)
+                if len(ts) != 1:
+                    raise ValueError("big span_near supports span_term clauses")
+                fields.add(f_c)
+                bts += ts
+            if len(fields) != 1:
+                raise ValueError("big span_near clauses must share one field")
+            f_b = fields.pop()
+            gaps = int(bb.get("slop", 0))
+        else:
+            raise ValueError("span_within/containing big must be span_term or span_near")
+        if f_l != f_b:
+            raise ValueError("span_within/containing little/big must share one field")
+        return {
+            "intervals": {
+                f_l: {
+                    "match": {
+                        "query": lts[0],
+                        "within_query": " ".join(bts),
+                        "within_gaps": gaps,
+                    }
+                }
+            }
+        }
     raise ValueError(kind)
 
 
@@ -434,6 +479,39 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     def ex_positions():
         ps = [positions(t) for t in not_terms]
         return ps[0] if len(ps) == 1 else F.concat(*ps)
+
+    within_q = src.get("within_query")
+    if within_q:
+        # span_within / span_containing: little (single term) occurrence q
+        # inside a big ordered chain [pb, pc] with pc-pb-1 <= within_gaps;
+        # at doc granularity both builders match the same set (divergence
+        # documented on IntervalsLeaf)
+        wterms = analysis.analyze(within_q)
+        if m != 1 or not 1 <= len(wterms) <= 2:
+            raise ValueError("within_query needs single little term, big arity <= 2")
+        wg = int(src.get("within_gaps", -1))
+        lps = positions(qterms[0])
+        if len(wterms) == 1:
+            wp = positions(wterms[0])
+            hit = F.exists(lps, lambda q2: F.exists(wp, lambda pb: pb == q2))
+        else:
+            pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
+
+            def enclosed(q2):
+                def pair_ok(pb):
+                    def end_ok(pc):
+                        c = (pc >= q2) & (pc > pb)
+                        if wg >= 0:
+                            c = c & (pc - pb - 1 <= wg)
+                        return c
+
+                    return (pb <= q2) & F.exists(pc_a, end_ok)
+
+                return F.exists(pb_a, pair_ok)
+
+            hit = F.exists(lps, enclosed)
+        scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))
+        return Compiled(scored=scored)
 
     if m == 1:
         ps = positions(qterms[0])

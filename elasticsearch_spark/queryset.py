@@ -182,6 +182,36 @@ SPAN_QUERIES: dict[str, dict] = {
     "span_multi_prefix": {
         "span_multi": {"match": {"prefix": {"text": "qu"}}}
     },
+    "span_within_near": {
+        "span_within": {
+            "little": {"span_term": {"text": "hash"}},
+            "big": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "join"}},
+                        {"span_term": {"text": "table"}},
+                    ],
+                    "slop": 4,
+                    "in_order": True,
+                }
+            },
+        }
+    },
+    "span_containing_near": {
+        "span_containing": {
+            "little": {"span_term": {"text": "query"}},
+            "big": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "fast"}},
+                    ],
+                    "slop": 5,
+                    "in_order": True,
+                }
+            },
+        }
+    },
 }
 
 # cursoring fixtures (operators/cursor.py): (sort_cols, after, size) etc.

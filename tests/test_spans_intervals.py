@@ -126,3 +126,58 @@ def test_span_or_is_or_match(spark, tiny_store):
         }
     }
     assert _hits(spark, tiny_store, qd) == [0, 1, 3, 4, 5, 6]
+
+
+def _within_qd(little, big_terms, slop, kind="span_within"):
+    return {
+        kind: {
+            "little": {"span_term": {"text": little}},
+            "big": {
+                "span_near": {
+                    "clauses": [{"span_term": {"text": t}} for t in big_terms],
+                    "slop": slop,
+                    "in_order": True,
+                }
+            },
+        }
+    }
+
+
+def test_span_within_containment(spark, tiny_store):
+    # beta enclosed by alpha..gamma: doc0 (width 1), doc6 (width 1); doc5's
+    # window is width 2 (> slop 1); doc1/doc3 have no alpha before beta
+    assert _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 1)) == [0, 6]
+    # widening the slop admits doc5
+    assert _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2)) == [0, 5, 6]
+
+
+def test_span_within_endpoint_inclusive(spark, tiny_store):
+    # little == big's start term: enclosed at the window's left endpoint
+    hits = _hits(spark, tiny_store, _within_qd("alpha", ["alpha", "gamma"], 3))
+    assert 0 in hits and 2 in hits
+
+
+def test_span_containing_matches_same_docs(spark, tiny_store):
+    # at doc granularity span_containing == span_within (documented divergence:
+    # we emit docs, not span streams)
+    w = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2))
+    c = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2, "span_containing"))
+    assert w == c
+
+
+def test_span_within_single_term_big(spark, tiny_store):
+    # big = span_term: [pb, pb] contains q only when q == pb, i.e. little==big
+    qd = {
+        "span_within": {
+            "little": {"span_term": {"text": "beta"}},
+            "big": {"span_term": {"text": "beta"}},
+        }
+    }
+    assert _hits(spark, tiny_store, qd) == [0, 1, 3, 5, 6]
+    qd2 = {
+        "span_within": {
+            "little": {"span_term": {"text": "beta"}},
+            "big": {"span_term": {"text": "gamma"}},
+        }
+    }
+    assert _hits(spark, tiny_store, qd2) == []
