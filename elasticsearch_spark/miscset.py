@@ -208,6 +208,37 @@ def _template_oracle() -> str:
     return oracle.search_sql(render_template(SEARCH_TEMPLATE, TEMPLATE_PARAMS), 10)
 
 
+# --- Streaming ingest (streaming/ingest.py, ES refresh analog): stream the
+# corpus in as AvailableNow micro-batches (>= 2 batches via 10 source files,
+# maxFilesPerTrigger=8), then answer a BM25 top-k on the streamed store —
+# must be rank-identical to the batch oracle (streamed == batch)
+def fx_stream_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .operators import topk
+    from .queryset import SEARCH_QUERIES
+    from .sources.segment_store import SegmentStore
+    from .streaming.ingest import stream_ingest
+
+    base = tempfile.mkdtemp(prefix="es_stream_fx_")
+    src = os.path.join(base, "src")
+    root = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    TR.transcripts_view(spark, sf_dir).repartition(10).write.parquet(src)
+    stream_ingest(spark, src, root, ckpt).awaitTermination()
+    return topk.search_indexed(
+        spark, SegmentStore(root), SEARCH_QUERIES["match_or_topk"], k=10
+    )
+
+
+def _stream_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+
+    return oracle.search_sql(SEARCH_QUERIES["match_or_topk"], 10)
+
+
 MISC_QUERY_FNS = {
     "ingest_pipeline": fx_ingest,
     "suggest_term": fx_term_suggest,
@@ -217,6 +248,7 @@ MISC_QUERY_FNS = {
     "doc_multi_get": fx_multi_get,
     "percolate_stored": fx_percolate,
     "search_template_match": fx_search_template,
+    "streaming_ingest_search": fx_stream_ingest_search,
 }
 
 MISC_ORACLE_SQL = {
@@ -228,4 +260,5 @@ MISC_ORACLE_SQL = {
     "doc_multi_get": _get_oracle(_GET_IDS),
     "percolate_stored": _PERCOLATE_ORACLE,
     "search_template_match": _template_oracle(),
+    "streaming_ingest_search": _stream_oracle(),
 }
