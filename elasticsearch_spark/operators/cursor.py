@@ -41,13 +41,20 @@ def from_size(
     order_cols re-establishes the caller's sort inside the window — Spark does
     not guarantee row order survives the limit->window exchange, so ranking by
     a constant would silently pick wrong rows on multi-partition plans. The
-    default matches search()'s contract: (round(score,6) desc, other cols asc).
+    default applies ONLY to search()-shaped frames (a `score` column) and
+    matches that contract: (round(score,6) desc, other cols asc); any other
+    frame must pass its sort explicitly — guessing a sort here would page
+    from the wrong end without an error.
     """
     if order_cols is None:
         cols = scored_sorted.columns
-        order_cols = (
-            [F.round(F.col("score"), 6).desc()] if "score" in cols else []
-        ) + [F.col(c).asc() for c in cols if c != "score"]
+        if "score" not in cols:
+            raise ValueError(
+                "from_size needs order_cols for frames without a score column"
+            )
+        order_cols = [F.round(F.col("score"), 6).desc()] + [
+            F.col(c).asc() for c in cols if c != "score"
+        ]
     w = Window.orderBy(*order_cols)
     head = scored_sorted.limit(from_ + size)
     return (
@@ -145,22 +152,40 @@ def terminate_after_scan(
 
     The mapInPandas generator stops CONSUMING its Arrow batch iterator once n
     matches are buffered, so remaining row groups of the partition are never
-    read — a real early exit, not a post-hoc LIMIT. Docs files are
-    ordinal-sorted, so each partition yields its first n matches in key
-    order; the coordinator-side orderBy().limit(n) then equals the global
-    first n matching docs by (conv_id, turn_idx) — deterministic, and the
-    per-partition prefix property makes the merge exact. `batch_counter` (a
-    Spark accumulator) counts consumed Arrow batches for tests.
+    read — a real early exit, not a post-hoc LIMIT.
+
+    Exactness requires each partition's first n matches to be its n SMALLEST
+    keys. Spark packs multiple files into a scan partition in SIZE order (not
+    key order), which breaks that prefix property — so the scan is built as a
+    union of per-FILE reads: each docs file is key-sorted with a disjoint key
+    range (assign_ordinals range-partitions + sorts before writing), each
+    union leg's partitions contain only that file's splits, and the delete
+    anti-join is broadcast so no shuffle disturbs the ordering. Per-file
+    prefix + coordinator orderBy().limit(n) == the global first n matching
+    docs by (conv_id, turn_idx), deterministically. (At a 100 TB file count,
+    group files into key-ordered buckets instead of one leg per file.)
+    `batch_counter` (a Spark accumulator) counts consumed Arrow batches.
     """
+    import glob
+    import os
     from collections.abc import Iterator
+    from functools import reduce
 
     import pandas as pd
 
-    from .topk import _apply_deletes, read_segment_docs
+    from .topk import _deletes_df
 
     snap = store.snapshot(snapshot_id)
-    docs = read_segment_docs(spark, store, snap)
-    docs = _apply_deletes(spark, store, snap, docs)
+    legs = []
+    for seg in snap.segments:
+        for f in sorted(glob.glob(os.path.join(store.docs_path(seg.segment_id), "*.parquet"))):
+            legs.append(
+                spark.read.parquet(f).withColumn("segment", F.lit(seg.segment_id))
+            )
+    docs = reduce(lambda a, b: a.unionByName(b), legs)
+    dels = _deletes_df(spark, store, snap)
+    if dels is not None:
+        docs = docs.join(F.broadcast(dels), ["segment", "ordinal"], "left_anti")
     # predicate pushed to the parquet scan; the early exit bounds how many
     # surviving batches each partition materializes
     matched = docs.where(predicate).select("conv_id", "turn_idx")

@@ -195,14 +195,15 @@ def read_segment_postings(
         pred = c if pred is None else (pred | c)
     parts = []
     for seg in snap.segments:
-        parts.append(
-            spark.read.parquet(store.postings_path(seg.segment_id))
-            .where(pred)
-            .withColumn("segment", F.lit(seg.segment_id))
-        )
+        d = spark.read.parquet(store.postings_path(seg.segment_id))
+        if "field" not in d.columns:  # pre-multi-field segment: text only
+            d = d.withColumn("field", F.lit("text"))
+        parts.append(d.where(pred).withColumn("segment", F.lit(seg.segment_id)))
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # allowMissingColumns: a legacy segment without position streams
+        # null-fills them (phrase/intervals degrade, term scoring still exact)
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
 
 
@@ -541,8 +542,9 @@ class _Lowerer:
             if not functions:
                 return child
             sql, _ = self.function_value_sql(functions, body.get("score_mode", "multiply"))
-            ub = self._expr_max(sql)
-            fid = self.chan(sql, "value", ub=ub)
+            # pruning bound comes from the per-bucket channel max inside the
+            # kernel (chan_ub) — no full-table max aggregation at lowering
+            fid = self.chan(sql, "value")
             return FuncScoreNode(child, fid, body.get("boost_mode", "multiply"))
         if kind == "distance_feature":
             f_, origin, pivot = body["field"], body["origin"], float(body["pivot"])
@@ -562,8 +564,7 @@ class _Lowerer:
             msm_expr = spec.get("minimum_should_match_field") or spec.get(
                 "minimum_should_match_script"
             )
-            ub = self._expr_max(f"cast(({msm_expr}) as double)")
-            fid = self.chan(f"cast(({msm_expr}) as double)", "value", ub=ub)
+            fid = self.chan(f"cast(({msm_expr}) as double)", "value")
             return TermsLeaf(field=col, terms=list(dict.fromkeys(terms)), need_fid=fid)
         if kind == "more_like_this":
             return self.mlt_leaf(body)
@@ -603,10 +604,6 @@ class _Lowerer:
                 within_gaps=int(src.get("within_gaps", -1)),
             )
         raise ValueError(f"indexed path cannot lower: {kind}")
-
-    def _expr_max(self, sql: str) -> float:
-        r = self.docs.agg(F.max(F.expr(sql))).first()[0]
-        return float(r) if r is not None else 0.0
 
     def lower_bool(self, body: dict) -> BoolNode:
         def as_list(x):
@@ -747,6 +744,13 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 chan_ord[int(fid)] = o[si]
                 chan_val[int(fid)] = v[si]
         deny = chan_ord.get(DENY_FID)
+        # per-bucket value-channel upper bounds: tighter than any global
+        # bound and computed from rows already shuffled here — no dedicated
+        # full-table aggregation job at lowering time
+        chan_ub = {
+            fid: (float(np.nanmax(v)) if len(v) else 0.0)
+            for fid, v in chan_val.items()
+        }
 
         # ---- group postings rows by bk; per-(field,term) block bound data
         bks = left["bk"].to_numpy(dtype=np.int64)
@@ -814,7 +818,7 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
             if isinstance(node, ChannelLeaf):
                 if node.const is not None:
                     return True, node.const
-                return True, chan_info[node.fid][1]
+                return True, chan_ub.get(node.fid, 0.0)
             if isinstance(node, BoolNode):
                 ub = 0.0
                 for c in node.must:
@@ -841,12 +845,13 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 p, u = node_bound(node.child, pres)
                 if not p:
                     return False, 0.0
-                fmax = max(chan_info[node.fid][1], 0.0)
+                bmax = max(chan_ub.get(node.fid, 0.0), 0.0)
                 if node.boost_mode == "multiply":
-                    return True, u * fmax
+                    # a matching doc absent from the channel scores factor 1
+                    return True, u * max(bmax, 1.0)
                 if node.boost_mode == "sum":
-                    return True, u + fmax
-                return True, fmax  # replace
+                    return True, u + bmax
+                return True, bmax  # replace
             if isinstance(node, BoostingNode):
                 p, u = node_bound(node.positive, pres)
                 return p, u * max(1.0, node.negative_boost)
@@ -965,17 +970,39 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                         good = np.isin(q, wks[0])
                     else:
                         barr, carr = wks[0], wks[1]
+
+                        def _near(arr, idx, ref):
+                            ok = (idx >= 0) & (idx < len(arr))
+                            v = arr[np.clip(idx, 0, len(arr) - 1)]
+                            ok &= (v >> _POS_SHIFT) == (ref >> _POS_SHIFT)
+                            return ok, v
+
                         ib = np.searchsorted(barr, q, side="right") - 1
-                        okb = ib >= 0
-                        pb = barr[np.maximum(ib, 0)]
-                        okb &= (pb >> _POS_SHIFT) == (q >> _POS_SHIFT)
+                        okb, pb = _near(barr, ib, q)
                         ic = np.searchsorted(carr, q, side="left")
-                        okc = ic < len(carr)
-                        pc = carr[np.minimum(ic, len(carr) - 1)]
-                        okc &= (pc >> _POS_SHIFT) == (q >> _POS_SHIFT)
-                        good = okb & okc & (pc > pb)
-                        if node.within_gaps >= 0:
-                            good &= (pc - pb - 1) <= node.within_gaps
+                        okc, pc = _near(carr, ic, q)
+
+                        def _pair_ok(ok1, v1, ok2, v2):
+                            g2 = ok1 & ok2 & (v2 > v1)
+                            if node.within_gaps >= 0:
+                                g2 &= (v2 - v1 - 1) <= node.within_gaps
+                            return g2
+
+                        good = _pair_ok(okb, pb, okc, pc)
+                        # degenerate minimal pair (pb == pc: the little
+                        # occurrence coincides with a shared big-slot
+                        # position, only possible when the two big slots hold
+                        # the same term) — try the 2nd-nearest on each side;
+                        # wider pairs can only increase the window, so these
+                        # two alternatives are exhaustive
+                        deg = okb & okc & (pb == pc)
+                        if deg.any():
+                            okb2, pb2 = _near(barr, ib - 1, q)
+                            okc2, pc2 = _near(carr, ic + 1, q)
+                            good |= deg & (
+                                _pair_ok(okb2, pb2, okc, pc)
+                                | _pair_ok(okb, pb, okc2, pc2)
+                            )
                     hit_docs = np.unique(q[good] >> _POS_SHIFT)
                     match = np.zeros(n, dtype=bool)
                     match[np.searchsorted(docs_u, hit_docs)] = True
@@ -1085,13 +1112,15 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
                 return m, np.where(m, node.boost, 0.0)
             if isinstance(node, FuncScoreNode):
                 m, s = eval_node(node.child, env, docs_u)
-                v = chan_value(node.fid, docs_u)
+                # missing channel row = the functions' SQL evaluated to NULL
+                # for that doc: identity per mode (never NaN — a NaN score
+                # would poison the running top-k threshold)
                 if node.boost_mode == "multiply":
-                    s = s * v
+                    s = s * chan_value(node.fid, docs_u, default=1.0)
                 elif node.boost_mode == "sum":
-                    s = s + v
+                    s = s + chan_value(node.fid, docs_u, default=0.0)
                 elif node.boost_mode == "replace":
-                    s = v
+                    s = chan_value(node.fid, docs_u, default=0.0)
                 else:
                     raise ValueError(node.boost_mode)
                 return m, np.where(m, s, 0.0)
@@ -1307,17 +1336,34 @@ def search_indexed(
     ):
         base = docs if kind != "match_none" else docs.where(F.lit(False))
         base = _apply_deletes(spark, store, snap, base)
+        # constant 1.0 per hit — the logical path (Compiled.as_scored 1.0)
+        # and the oracle (_pred_sql) both score match_all 1.0
         return (
-            base.select("conv_id", "turn_idx", F.lit(0.0).alias("score"))
+            base.select("conv_id", "turn_idx", F.lit(1.0).alias("score"))
             .orderBy("conv_id", "turn_idx")
             .limit(k)
         )
 
-    plan = lower_query(spark, store, snap, docs, nq)
+    def _logical_fallback():
+        # documented fallback: shapes the kernel/docs-only plan cannot
+        # express (e.g. dis_max of filter-context leaves, non-anchored bool
+        # with postings leaves) run the logical plan over the store's docs
+        from ..plans import query_dsl as Q
+
+        base = _apply_deletes(spark, store, snap, docs)
+        return Q.search(base, nq, ["conv_id", "turn_idx"], k=k)
+
+    try:
+        plan = lower_query(spark, store, snap, docs, nq)
+    except ValueError:
+        return _logical_fallback()
     del_df = _deletes_df(spark, store, snap)
 
     if isinstance(plan, DocsPlan):
-        pred, score = _docs_eval(plan.tree, plan.channels)
+        try:
+            pred, score = _docs_eval(plan.tree, plan.channels)
+        except ValueError:
+            return _logical_fallback()
         base = docs.where(pred)
         if del_df is not None:
             base = base.join(del_df, ["segment", "ordinal"], "left_anti")

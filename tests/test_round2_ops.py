@@ -161,3 +161,89 @@ def test_all_fixture_queries_indexed_equals_logical(spark, transcripts, store):
         if got != want:
             bad.append(name)
     assert not bad, f"indexed != logical for {bad}"
+
+
+class TestReviewRegressions:
+    """Fixes from the round-2 code review."""
+
+    def test_terminate_after_exact_with_packed_small_files(
+        self, spark, transcripts, tmp_path_factory
+    ):
+        # many tiny docs files: Spark's size-ordered file packing would break
+        # the per-partition prefix property; the per-file union keeps each
+        # partition key-ordered so the result stays the exact global first n
+        root = str(tmp_path_factory.mktemp("ta_packed"))
+        st = index_build.build_index(spark, transcripts, root, n_slices=1, partitions=16)
+        got = cursor.terminate_after_scan(spark, st, "role = 'user'", 13).collect()
+        want = (
+            transcripts.where("role = 'user'")
+            .orderBy("conv_id", "turn_idx")
+            .limit(13)
+            .select("conv_id", "turn_idx")
+            .collect()
+        )
+        assert [(r.conv_id, r.turn_idx) for r in got] == [
+            (r.conv_id, r.turn_idx) for r in want
+        ]
+
+    def test_span_within_shared_big_slot_term(self, spark, tmp_path_factory):
+        # little occurrence coincides with a shared big-slot position
+        # ('x z x', big = near ['x','x']): the minimal enclosing pair
+        # degenerates to pb == pc and the 2nd-nearest alternatives must fire
+        import datetime
+
+        rows = [
+            ("c0", 0, "user", "x z x", "t", datetime.datetime(2024, 1, 1)),
+            ("c0", 1, "user", "x only once", "t", datetime.datetime(2024, 1, 1)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        root = str(tmp_path_factory.mktemp("deg_span"))
+        st = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+        qd = {
+            "span_within": {
+                "little": {"span_term": {"text": "x"}},
+                "big": {
+                    "span_near": {
+                        "clauses": [
+                            {"span_term": {"text": "x"}},
+                            {"span_term": {"text": "x"}},
+                        ],
+                        "slop": 3,
+                        "in_order": True,
+                    }
+                },
+            }
+        }
+        logical = sorted(r.turn_idx for r in Q.search(df, qd, KEYS, k=10).collect())
+        indexed = sorted(
+            r.turn_idx for r in topk.search_indexed(spark, st, qd, k=10).collect()
+        )
+        assert logical == indexed == [0]
+
+    def test_match_all_scores_one_on_indexed_path(self, spark, transcripts, store):
+        got = topk.search_indexed(spark, store, {"match_all": {}}, k=5).collect()
+        want = Q.search(transcripts, {"match_all": {}}, KEYS, k=5).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert all(r.score == 1.0 for r in got)
+
+    def test_unlowerable_shape_falls_back_to_logical(self, spark, transcripts, store):
+        # dis_max of filter-context leaves is not anchored in postings; the
+        # indexed entrypoint must run the logical plan instead of raising
+        qd = {
+            "dis_max": {
+                "queries": [
+                    {"range": {"turn_idx": {"lte": 2}}},
+                    {"term": {"role": "system"}},
+                ]
+            }
+        }
+        got = topk.search_indexed(spark, store, qd, k=10).collect()
+        want = Q.search(transcripts, qd, KEYS, k=10).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_from_size_requires_order_for_unscored_frames(self, spark, transcripts):
+        with pytest.raises(ValueError, match="order_cols"):
+            cursor.from_size(transcripts.select("conv_id", "turn_idx"), 0, 5)
