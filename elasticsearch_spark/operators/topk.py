@@ -395,9 +395,13 @@ class _Lowerer:
         """more_like_this: liked docs fetched by id (point read), salient
         terms = top max_query_terms by tf*idf with df from the term
         dictionary (MoreLikeThisQueryBuilder's coordinator-side term
-        selection); runs as an OR TermsLeaf with % msm, liked ids excluded."""
-        from collections import Counter
+        selection); runs as an OR TermsLeaf with % msm, liked ids excluded.
 
+        Term selection is ONE DataFrame job mirroring the logical path
+        (plans/query_dsl._more_like_this): liked-doc tokens aggregate to
+        (term, ltf), join the per-segment term dictionaries for df, salience
+        = ltf * idf, and the driver collects only the <= max_query_terms
+        winners — never liked-doc text or the candidate vocabulary."""
         field_ = (body.get("fields") or ["text"])[0]
         like = body["like"] if isinstance(body["like"], list) else [body["like"]]
         mqt = int(body.get("max_query_terms", 25))
@@ -407,27 +411,46 @@ class _Lowerer:
         like_ids = [x["_id"] for x in like if isinstance(x, dict)]
         like_texts = [x for x in like if isinstance(x, str)]
         idc = F.concat_ws("#", F.col("conv_id").cast("string"), F.col("turn_idx").cast("string"))
+        liked_tok = None
         if like_ids:
-            rows = self.docs.where(idc.isin(like_ids)).select(field_).collect()
-            like_texts += [r[0] for r in rows]
-        tf = Counter()
-        for t in like_texts:
-            tf.update(analysis.analyze(t))
-        cand = sorted(t for t, c in tf.items() if c >= mtf)
-        if not cand:
-            raise ValueError("more_like_this: no candidate terms")
-        dfs = term_stats_lookup(
-            self.spark, self.store, self.snap, [(field_, t) for t in cand]
+            liked_tok = self.docs.where(idc.isin(like_ids)).select(
+                F.explode(analysis.tokens(field_)).alias("term")
+            )
+        if like_texts:
+            txt = self.spark.createDataFrame(
+                [(t,) for t in like_texts], f"{field_} string"
+            ).select(F.explode(analysis.tokens(field_)).alias("term"))
+            liked_tok = txt if liked_tok is None else liked_tok.unionByName(txt)
+        if liked_tok is None:
+            raise ValueError("more_like_this: no likes")
+        ltf = (
+            liked_tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ltf"))
+            .where(F.col("ltf") >= mtf)
         )
+        # df from the per-segment term dictionaries, candidate-pruned by a
+        # broadcast join (the dictionary scan streams; nothing is collected)
+        dict_parts = []
+        for seg in self.snap.segments:
+            d = self.spark.read.parquet(self.store.term_stats_path(seg.segment_id))
+            if "field" not in d.columns:  # pre-multi-field segment: text only
+                d = d.withColumn("field", F.lit("text"))
+            dict_parts.append(d.where(F.col("field") == field_).select("term", "df"))
+        stats = dict_parts[0]
+        for p in dict_parts[1:]:
+            stats = stats.unionByName(p)
+        stats = stats.groupBy("term").agg(F.sum("df").alias("df"))
         n = self.snap.n_docs
-        scored_terms = []
-        for t in cand:
-            df_t = dfs.get((field_, t), 0)
-            if df_t < mdf:
-                continue
-            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
-            scored_terms.append((-tf[t] * idf, t))
-        sel = [t for _, t in sorted(scored_terms)[:mqt]]
+        sal = F.col("ltf") * F.expr(scoring.idf_sql(str(n), "df"))
+        sel = [
+            r.term
+            for r in stats.join(F.broadcast(ltf), "term")
+            .where(F.col("df") >= mdf)
+            .select("term", sal.alias("sal"))
+            .orderBy(F.desc("sal"), F.asc("term"))
+            .limit(mqt)
+            .collect()
+        ]
         if not sel:
             raise ValueError("more_like_this: no selected terms")
         if isinstance(msm_raw, str) and msm_raw.endswith("%"):
