@@ -733,10 +733,11 @@ def lower_query(spark, store, snap, docs: DataFrame, query: dict):
 
 
 # -------------------------------------------------------------- the kernel
-def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts, chan_info):
+def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
     """Build the cogrouped-Arrow kernel closure. Pure numpy inside.
 
-    chan_info: {fid: (mode, ub)} for allow/value channels (DENY_FID = deletes).
+    Value-channel pruning bounds are derived per bucket from the channel
+    rows themselves (chan_ub) — no precomputed global bound is needed.
     """
     import numpy as np
 
@@ -1430,8 +1431,7 @@ def search_indexed(
         return _empty_result(docs)
     postings = read_segment_postings(spark, store, snap, live_ft)
     extras = _channels_df(spark, docs, plan.channels, del_df)
-    chan_info = {ch.fid: (ch.mode, ch.ub) for ch in plan.channels}
-    kernel = _make_kernel(plan.tree, weights, avgdl, k, plan.phrase_fts, chan_info)
+    kernel = _make_kernel(plan.tree, weights, avgdl, k, plan.phrase_fts)
     local = run_kernel(postings, extras, kernel)
 
     # FETCH PHASE (SearchPhaseController analog): the kernels return at most
