@@ -231,16 +231,21 @@ def term_stats_lookup(
     if not ft_pairs:
         return {}
     terms = sorted({t for _, t in ft_pairs})
-    out: dict[tuple[str, str], int] = {}
+    parts = []
     for seg in snap.segments:
         d = spark.read.parquet(store.term_stats_path(seg.segment_id)).where(
             F.col("term").isin(terms)
         )
         if "field" not in d.columns:  # pre-multi-field segment: text only
             d = d.withColumn("field", F.lit("text"))
-        for r in d.select("field", "term", "df").collect():
-            k = (r.field, r.term)
-            out[k] = out.get(k, 0) + int(r.df)
+        parts.append(d.select("field", "term", "df"))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    # ONE job for the whole stats phase, not one sequential job per segment
+    out: dict[tuple[str, str], int] = {}
+    for r in df.groupBy("field", "term").agg(F.sum("df").alias("df")).collect():
+        out[(r.field, r.term)] = int(r.df)
     return {k: v for k, v in out.items() if k in set(ft_pairs)}
 
 
@@ -252,7 +257,7 @@ def expand_terms(
     MultiTermQuery term enumeration over the terms dict). prefix pushes a
     StringStartsWith filter into the parquet scan; wildcard/regexp push rlike;
     fuzzy scans the (small) dictionary with a levenshtein expression."""
-    out: set[str] = set()
+    parts = []
     for seg in snap.segments:
         d = spark.read.parquet(store.term_stats_path(seg.segment_id))
         if "field" in d.columns:
@@ -271,8 +276,14 @@ def expand_terms(
             d = d.where(F.levenshtein(F.col("term"), F.lit(val)) <= fz)
         else:
             raise ValueError(kind)
-        out.update(r.term for r in d.select("term").collect())
-    terms = sorted(out)
+        parts.append(d.select("term"))
+    if not parts:
+        return []
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    # one expansion job across all segments' dictionaries
+    terms = sorted({r.term for r in df.distinct().collect()})
     if max_expansions is not None:
         terms = terms[:max_expansions]
     return terms
