@@ -216,9 +216,17 @@ def _metric_cols(docs: DataFrame, name: str, spec: dict) -> list[Column]:
             # sketched percentiles (AbstractTDigestPercentilesAggregator /
             # AbstractHDRPercentilesAggregator): Spark's native mergeable
             # sketch is Greenwald-Khanna (approx_percentile), the same
-            # bounded-error partial/final contract as TDigest with accuracy
-            # 1/compression — documented algorithm swap, same API surface
-            acc = int(b.get("tdigest", {}).get("compression", 100)) * 100
+            # bounded-error partial/final contract — documented algorithm
+            # swap, same API surface. tdigest accuracy ~ 1/compression;
+            # hdr accuracy ~ 10^-significant_digits, so map each spec's own
+            # knob to the GK accuracy parameter (1/accuracy relative error).
+            if method == "hdr":
+                digits = int(
+                    b.get("hdr", {}).get("number_of_significant_value_digits", 3)
+                )
+                acc = 10 ** max(1, min(digits, 5))
+            else:
+                acc = int(b.get("tdigest", {}).get("compression", 100)) * 100
             return [
                 F.percentile_approx(c, F.lit(p / 100.0), F.lit(acc)).alias(
                     f"{name}_p{_pname(p)}"

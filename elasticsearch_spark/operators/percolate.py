@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 from ..functions import analysis
 
 
+def _msm(raw, n_terms: int) -> int:
+    """minimum_should_match value: int, numeric string, or "30%"-style
+    percentage (Queries.calculateMinShouldMatch — truncating, floor 1 here
+    since a stored OR query always needs at least one term)."""
+    if raw is None:
+        return 1
+    if isinstance(raw, str):
+        raw = raw.strip()
+        if raw.endswith("%"):
+            return max(1, int(n_terms * int(raw[:-1]) / 100.0))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"percolate minimum_should_match must be an integer or 'N%': {raw!r}"
+        ) from None
+
+
 def _query_terms(query: dict) -> tuple[list[str], int]:
     """(terms, needed distinct matches) for one stored query dict."""
     (kind, body), = query.items()
@@ -36,7 +54,7 @@ def _query_terms(query: dict) -> tuple[list[str], int]:
             spec = {"query": spec}
         terms = list(dict.fromkeys(analysis.analyze(spec["query"])))
         op = spec.get("operator", "or").lower()
-        need = len(terms) if op == "and" else int(spec.get("minimum_should_match") or 1)
+        need = len(terms) if op == "and" else _msm(spec.get("minimum_should_match"), len(terms))
         return terms, need
     if kind in ("term", "terms"):
         (field, v), = body.items()

@@ -202,7 +202,8 @@ def read_segment_postings(
     df = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: a legacy segment without position streams
-        # null-fills them (phrase/intervals degrade, term scoring still exact)
+        # null-fills them (term scoring stays exact; a phrase/intervals query
+        # touching such a segment raises a clear error in the kernel)
         df = df.unionByName(p, allowMissingColumns=True)
     return df
 
@@ -1189,6 +1190,15 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 tfn = kp1 * tfs / (tfs + k1 * (1.0 - b + b * dlq / ad))
                 occ_keys = None
                 if ft in phrase_fts:
+                    if r["poss"] is None:
+                        # legacy segment without position streams (unionByName
+                        # null-filled): a positional query cannot degrade to a
+                        # correct answer — fail loudly, not with a TypeError
+                        raise ValueError(
+                            f"segment {bkv!r} has no position stream for "
+                            f"field/term {ft!r}; rebuild the segment to run "
+                            "phrase/intervals queries"
+                        )
                     # absolute positions from the concatenated delta stream
                     d = varbyte_decode(r["poss"]).astype(np.int64)
                     cs = np.cumsum(d)

@@ -212,6 +212,18 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     first_end = src.get("first_end")
     not_terms = analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
+    # same validations as the engine twins (query_dsl._intervals, topk
+    # lowering): reject shapes whose branches below would drop a constraint
+    if src.get("within_query"):
+        if m != 1 or not_terms or first_end is not None:
+            raise ValueError(
+                "within_query needs a single little term and no not_query/first_end"
+            )
+    else:
+        if first_end is not None and m != 1:
+            raise ValueError("first_end (span_first) supports a single term")
+        if not_terms and not (ordered or m == 1):
+            raise ValueError("not_query (span_not) needs ordered or single-term")
     t = _toks(field)
 
     def pos(term: str) -> str:

@@ -466,6 +466,18 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     first_end = src.get("first_end")
     not_terms = analysis.analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
+    # mirror the indexed lowering's validations (operators/topk.py:618-627):
+    # never silently drop an exclusion or boundary the branch below ignores
+    if src.get("within_query"):
+        if m != 1 or not_terms or first_end is not None:
+            raise ValueError(
+                "within_query needs a single little term and no not_query/first_end"
+            )
+    else:
+        if first_end is not None and m != 1:
+            raise ValueError("first_end (span_first) supports a single term")
+        if not_terms and not (ordered or m == 1):
+            raise ValueError("not_query (span_not) needs ordered or single-term")
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
     toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
 
