@@ -556,6 +556,144 @@ FROM grid g LEFT JOIN counted c USING (bkt) ORDER BY g.bkt"""
 AGG_QUERIES["agg_auto_date_histogram"]["oracle"] = _auto_dh_oracle()
 
 
+# --- missing (reg SearchModule.java registration of MissingAggregationBuilder):
+# doc_count + sub-metrics over docs whose field is null. The view's `tool`
+# is '' (never null), so the fixture derives a nullable column first.
+AGG_QUERIES["agg_missing"] = {
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn
+FROM transcripts WHERE tool = ''""",
+}
+
+
+def _missing_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir).withColumn(
+        "tool_n", F.expr("nullif(tool, '')")
+    )
+    body = {
+        "aggs": {
+            "no_tool": {
+                "missing": {"field": "tool_n"},
+                "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}},
+            }
+        }
+    }
+    return _round_doubles(aggs.aggregate(docs, body))
+
+
+# --- serial_diff pipeline (SerialDiffPipelineAggregationBuilder): lag-2
+# difference over hourly bucket counts
+AGG_QUERIES["agg_serial_diff"] = {
+    "body": {
+        "aggs": {
+            "hour": {
+                "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+                "aggs": {"sdiff": {"serial_diff": {"buckets_path": "_count", "lag": 2}}},
+            }
+        }
+    },
+    "fill": {"sdiff": 0},
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT hour, doc_count,
+       coalesce(doc_count - lag(doc_count, 2) OVER (ORDER BY hour), 0) AS sdiff
+FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS doc_count
+      FROM transcripts GROUP BY 1) ORDER BY hour""",
+}
+
+# --- stats_bucket sibling pipeline (StatsBucketPipelineAggregationBuilder):
+# avg/sum/min/max/count over a per-bucket metric (covers the whole
+# avg_bucket/sum_bucket/min_bucket/max_bucket family in one fixture)
+AGG_QUERIES["agg_stats_bucket"] = {
+    "body": {
+        "aggs": {
+            "role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "sum_turn": {"sum": {"field": "turn_idx"}},
+                    "st": {"stats_bucket": {"buckets_path": "sum_turn"}},
+                },
+            }
+        }
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE},
+b AS (SELECT role, count(*) AS doc_count, cast(sum(turn_idx) as bigint) AS sum_turn
+      FROM transcripts GROUP BY role ORDER BY doc_count DESC, role LIMIT 10)
+SELECT role, doc_count, sum_turn,
+       round(avg(sum_turn) OVER (), 4) AS st_avg,
+       cast(sum(sum_turn) OVER () as bigint) AS st_sum,
+       min(sum_turn) OVER () AS st_min,
+       max(sum_turn) OVER () AS st_max,
+       count(sum_turn) OVER () AS st_count
+FROM b ORDER BY doc_count DESC, role""",
+}
+
+# --- bucket_sort pipeline (BucketSortPipelineAggregationBuilder): re-sort
+# buckets by a metric and truncate
+AGG_QUERIES["agg_bucket_sort"] = {
+    "body": {
+        "aggs": {
+            "role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "sum_turn": {"sum": {"field": "turn_idx"}},
+                    "srt": {"bucket_sort": {"sort": [{"sum_turn": "desc"}], "size": 3}},
+                },
+            }
+        }
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT role, count(*) AS doc_count, cast(sum(turn_idx) as bigint) AS sum_turn
+FROM transcripts GROUP BY role
+ORDER BY sum_turn DESC LIMIT 3""",
+}
+
+# --- sampler (SamplerAggregationBuilder): sub-aggs over only the top
+# shard_size docs by relevance. Score = epoch(ts) (strictly increasing in
+# doc_id => unique, so the top-N set is deterministic).
+AGG_QUERIES["agg_sampler"] = {
+    "oracle": f"""{TRANSCRIPTS_CTE},
+s AS (SELECT conv_id, turn_idx, role, cast(epoch(ts) as double) AS score
+      FROM transcripts ORDER BY score DESC LIMIT 50)
+SELECT role, count(*) AS doc_count FROM s GROUP BY role ORDER BY role""",
+}
+
+
+def _sampler_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role",
+        F.unix_timestamp("ts").cast("double").alias("score"),
+    )
+    sampled = aggs.sampler(docs, shard_size=50)
+    return sampled.groupBy("role").agg(F.count(F.lit(1)).alias("doc_count")).orderBy("role")
+
+
+# --- significant_text (reg SearchModule.java:426): JLH over analyzed tokens,
+# foreground = docs containing 'spark', background = whole corpus
+AGG_QUERIES["agg_significant_text"] = {
+    "oracle": f"""{TRANSCRIPTS_CTE},
+toks AS (SELECT conv_id, turn_idx,
+                unnest(list_distinct(regexp_extract_all(lower(text), '[\\pL\\pN]+'))) AS term
+         FROM transcripts),
+fg_docs AS (SELECT DISTINCT conv_id, turn_idx FROM toks WHERE term = 'spark'),
+fg AS (SELECT term, count(*) AS fg FROM toks JOIN fg_docs USING (conv_id, turn_idx)
+       GROUP BY term HAVING count(*) >= 3),
+bg AS (SELECT term, count(*) AS bg FROM toks GROUP BY term),
+nfg AS (SELECT count(*) AS n FROM fg_docs),
+nbg AS (SELECT count(*) AS n FROM transcripts)
+SELECT fg.term AS term, fg.fg AS doc_count, bg.bg AS bg_count,
+  round((fg.fg * 1.0 / nfg.n - bg.bg * 1.0 / nbg.n) * ((fg.fg * 1.0 / nfg.n) / (bg.bg * 1.0 / nbg.n)), 4) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg
+WHERE fg.fg * 1.0 / nfg.n > bg.bg * 1.0 / nbg.n
+ORDER BY score DESC, term LIMIT 10""",
+}
+
+
+def _sig_text_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    fg = docs.where(F.array_contains(analysis.tokens("text"), "spark"))
+    return _round_doubles(aggs.significant_text(fg, docs, size=10, min_doc_count=3))
+
+
 def agg_query_fns() -> dict:
     out = {}
     for name, spec in AGG_QUERIES.items():
@@ -569,6 +707,12 @@ def agg_query_fns() -> dict:
             out[name] = _scripted_metric_fix
         elif name == "agg_diversified_sampler":
             out[name] = _div_sampler_fix
+        elif name == "agg_missing":
+            out[name] = _missing_fix
+        elif name == "agg_sampler":
+            out[name] = _sampler_fix
+        elif name == "agg_significant_text":
+            out[name] = _sig_text_fix
         else:
             out[name] = _fix(spec["body"], spec.get("fill"))
     return out

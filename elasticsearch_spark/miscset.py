@@ -239,8 +239,46 @@ def _stream_oracle() -> str:
     return oracle.search_sql(SEARCH_QUERIES["match_or_topk"], 10)
 
 
+def fx_update_old_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fork's signature feature (req_old_source/req_new_source,
+    UpdateResponse.java:97-110, FetchSourceContext.java:124-186): an
+    _update_by_query capturing capped pre- and post-image sources with an
+    includes projection. Builds a PRIVATE store (the update commits a new
+    snapshot; the shared per-sf store must stay pristine for the indexed_*
+    fixtures that run after this one)."""
+    import tempfile
+
+    from .operators import index_build, update
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="es_spark_upd_")
+    store = index_build.build_index(spark, docs, root, n_slices=1, partitions=4)
+    res = update.update_by_query(
+        spark,
+        store,
+        "turn_idx = 4",
+        {"tool": "upper(role)", "text": "concat(text, ' [edited]')"},
+        req_old_source=["role", "text", "tool"],
+        req_new_source=["role", "text", "tool"],
+    )
+    old = res.old_source.withColumn("img", F.lit("old"))
+    new = res.new_source.withColumn("img", F.lit("new"))
+    return old.unionByName(new).orderBy("img", "conv_id", "turn_idx")
+
+
+_UPDATE_OLD_NEW_ORACLE = f"""{TRANSCRIPTS_CTE},
+sel AS (SELECT conv_id, turn_idx, role, text, tool FROM transcripts
+        WHERE turn_idx = 4 ORDER BY conv_id, turn_idx LIMIT 10)
+SELECT conv_id, turn_idx, role, text, tool, 'old' AS img FROM sel
+UNION ALL
+SELECT conv_id, turn_idx, role, text || ' [edited]' AS text,
+       upper(role) AS tool, 'new' AS img FROM sel
+ORDER BY img, conv_id, turn_idx"""
+
+
 MISC_QUERY_FNS = {
     "ingest_pipeline": fx_ingest,
+    "update_old_new_source": fx_update_old_new,
     "suggest_term": fx_term_suggest,
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
@@ -253,6 +291,7 @@ MISC_QUERY_FNS = {
 
 MISC_ORACLE_SQL = {
     "ingest_pipeline": _INGEST_ORACLE,
+    "update_old_new_source": _UPDATE_OLD_NEW_ORACLE,
     "suggest_term": _SUGGEST_ORACLE,
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,

@@ -69,7 +69,15 @@ class TermsLeaf:
 
 @dataclass
 class PhraseLeaf:
-    """Exact-adjacency phrase (match_phrase slop=0, MatchQuery.java:144).
+    """Phrase over positions (match_phrase, MatchQuery.java:144).
+    slop=0: exact adjacency. slop>0: Lucene sloppy-phrase window semantics
+    (MatchPhraseQueryBuilder slop param / SloppyPhraseMatcher) — term i at
+    position p participates with ADJUSTED position p - i; the phrase matches
+    wherever every term has an adjusted occurrence inside a window of width
+    <= slop, and phrase freq is the sum over minimal windows of
+    1/(1 + width) (documented divergence: Lucene's greedy SloppyPhraseScorer
+    can count overlapping matches slightly differently; doc sets are
+    identical for duplicate-free phrases, which the lowering enforces).
     prefix_expansions: term-dictionary expansions for the trailing position
     (match_phrase_prefix); weight = idf sum (bound at stats time)."""
 
@@ -77,6 +85,7 @@ class PhraseLeaf:
     terms: list[str]
     prefix_expansions: list[str] | None = None
     weight: float = 0.0
+    slop: int = 0
 
 
 @dataclass
@@ -386,8 +395,14 @@ class _Lowerer:
         if field_ not in INDEXED_FIELDS:
             raise ValueError(f"field {field_} has no postings")
         qterms = analysis.analyze(spec["query"])
+        slop = int(spec.get("slop", 0))
+        if slop:
+            if prefix:
+                raise ValueError("slop > 0 with match_phrase_prefix is unsupported")
+            if len(set(qterms)) != len(qterms):
+                raise ValueError("slop > 0 with repeated phrase terms is unsupported")
         if not prefix or not qterms:
-            return PhraseLeaf(field=field_, terms=qterms)
+            return PhraseLeaf(field=field_, terms=qterms, slop=slop)
         lead, pref = qterms[:-1], qterms[-1]
         exps = expand_terms(self.spark, self.store, self.snap, field_, "prefix", pref)
         return PhraseLeaf(field=field_, terms=lead, prefix_expansions=exps)
@@ -830,6 +845,7 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 if not slots:
                     return False, 0.0
                 m = np.inf
+                tot = 0.0
                 mindlq = np.inf
                 for slot in slots:
                     best = 0.0
@@ -841,6 +857,12 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     if best == 0.0:
                         return False, 0.0
                     m = min(m, best)
+                    tot += best
+                if node.slop > 0:
+                    # sloppy pf can exceed any single term's tf (several
+                    # minimal windows may share one occurrence) but never the
+                    # total number of anchors = sum of term occurrences
+                    m = tot
                 ad = avgdl.get(node.field, 1.0)
                 ub = node.weight * kp1 * m / (m + k1 * (1.0 - b + b * mindlq / ad))
                 return True, float(ub)
@@ -948,20 +970,49 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     slots.append(list(node.prefix_expansions))
                 if not slots:
                     return np.zeros(n, dtype=bool), np.zeros(n)
-                surv = None
-                for i, slot in enumerate(slots):
-                    keys = [env[(node.field, t)][3] for t in slot if (node.field, t) in env]
-                    keys = [kk for kk in keys if kk is not None and len(kk)]
-                    if not keys:
+                if node.slop > 0:
+                    # sloppy phrase: adjusted occurrence keys k + (m-1-i) put
+                    # every legal window inside one doc's key range (positions
+                    # are << 2^32 so the +offset cannot cross an ordinal)
+                    m_ = len(node.terms)
+                    adj = []
+                    for i, t in enumerate(node.terms):
+                        e = env.get((node.field, t))
+                        if e is None or e[3] is None or not len(e[3]):
+                            return np.zeros(n, dtype=bool), np.zeros(n)
+                        adj.append(e[3] + (m_ - 1 - i))
+                    anchors = np.unique(np.concatenate(adj))
+                    hi = anchors >> _POS_SHIFT
+                    good = np.ones(len(anchors), dtype=bool)
+                    mx = anchors.copy()
+                    for arr in adj:
+                        idx = np.searchsorted(arr, anchors)
+                        ok = idx < len(arr)
+                        v = arr[np.minimum(idx, len(arr) - 1)]
+                        ok &= (v >> _POS_SHIFT) == hi
+                        ok &= (v - anchors) <= node.slop
+                        good &= ok
+                        mx = np.where(ok, np.maximum(mx, v), mx)
+                    if not good.any():
                         return np.zeros(n, dtype=bool), np.zeros(n)
-                    kcat = keys[0] if len(keys) == 1 else np.concatenate(keys)
-                    if surv is None:
-                        surv = np.unique(kcat)
-                    else:
-                        surv = np.intersect1d(surv + 1, kcat, assume_unique=False)
-                    if not len(surv):
-                        return np.zeros(n, dtype=bool), np.zeros(n)
-                pdocs, pf = np.unique(surv >> _POS_SHIFT, return_counts=True)
+                    contrib = 1.0 / (1.0 + (mx[good] - anchors[good]))
+                    pdocs, inv = np.unique(hi[good], return_inverse=True)
+                    pf = np.bincount(inv, weights=contrib)
+                else:
+                    surv = None
+                    for i, slot in enumerate(slots):
+                        keys = [env[(node.field, t)][3] for t in slot if (node.field, t) in env]
+                        keys = [kk for kk in keys if kk is not None and len(kk)]
+                        if not keys:
+                            return np.zeros(n, dtype=bool), np.zeros(n)
+                        kcat = keys[0] if len(keys) == 1 else np.concatenate(keys)
+                        if surv is None:
+                            surv = np.unique(kcat)
+                        else:
+                            surv = np.intersect1d(surv + 1, kcat, assume_unique=False)
+                        if not len(surv):
+                            return np.zeros(n, dtype=bool), np.zeros(n)
+                    pdocs, pf = np.unique(surv >> _POS_SHIFT, return_counts=True)
                 # dlq per matched doc from the first slot's postings
                 dlq = np.full(len(pdocs), np.nan)
                 for t in slots[0]:

@@ -76,9 +76,23 @@ def _match_phrase_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
     if isinstance(spec, str):
         spec = {"query": spec}
     qterms = analyze(spec["query"])
+    slop = int(spec.get("slop", 0))
+    if slop > 0 and len(set(qterms)) != len(qterms):
+        raise ValueError("slop > 0 with repeated phrase terms is unsupported")
     m = len(qterms)
     t = _toks(field)
-    conds = " AND ".join(f"toks[p + {i}] = {_sql_str(term)}" for i, term in enumerate(qterms))
+    if slop > 0:
+        from .plans.query_dsl import sloppy_pf_expr
+
+        pf_expr = sloppy_pf_expr(qterms, slop, "duckdb")
+    else:
+        conds = " AND ".join(
+            f"toks[p + {i}] = {_sql_str(term)}" for i, term in enumerate(qterms)
+        )
+        pf_expr = (
+            f"len(list_filter(generate_series(1, greatest(len(toks) - {m - 1}, 0)),"
+            f" p -> {conds}))"
+        )
     terms_in = ", ".join(_sql_str(x) for x in sorted(set(qterms)))
     dl_q = scoring.quantized_dl_sql("dl", "duckdb")
     idf = scoring.idf_sql("n_docs", "df")
@@ -87,8 +101,7 @@ def _match_phrase_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
   SELECT conv_id, turn_idx, {t} AS toks, len({t}) AS dl FROM transcripts
 ),
 {alias}_pf AS (
-  SELECT conv_id, turn_idx, dl,
-    len(list_filter(generate_series(1, greatest(len(toks) - {m - 1}, 0)), p -> {conds})) AS pf
+  SELECT conv_id, turn_idx, dl, {pf_expr} AS pf
   FROM {alias}_docs
 ),
 {alias}_stats AS (

@@ -316,6 +316,63 @@ def _match(ctx: _Ctx, body: dict) -> Compiled:
     return Compiled(scored=scored)
 
 
+def sloppy_pf_expr(qterms: list[str], slop: int, dialect: str, toks: str = "toks") -> str:
+    """Sloppy-phrase freq as a lambda-SQL expression over a token array, in
+    either dialect (spark higher-order functions / duckdb list lambdas) so
+    the engine and the DuckDB oracle share one definition.
+
+    Semantics (MatchPhraseQueryBuilder slop / Lucene SloppyPhraseMatcher
+    adjusted positions): term i at position p has adjusted position
+    p + (m-1-i); for every candidate window start `a` (any adjusted
+    occurrence), greedily take each term's smallest adjusted occurrence in
+    [a, a+slop]; if all m exist the window is a minimal match of width
+    w = max(chosen) - a and contributes 1/(1+w) to the phrase freq
+    (documented divergence: Lucene's greedy scorer may count overlapping
+    windows differently; the matched DOC set is identical for phrases with
+    no repeated term, which the compilers enforce)."""
+    m = len(qterms)
+    if dialect == "spark":
+        def adj(i, t):
+            tq = "'" + t.replace("'", "\\'") + "'"
+            return (
+                f"transform(filter(sequence(0, size({toks}) - 1), "
+                f"p{i} -> element_at({toks}, cast(p{i} + 1 as int)) = {tq}), "
+                f"q{i} -> q{i} + {m - 1 - i})"
+            )
+        cast0 = "cast(0.0 as double)"
+    elif dialect == "duckdb":
+        def adj(i, t):
+            tq = "'" + t.replace("'", "''") + "'"
+            return (
+                f"list_transform(list_filter(generate_series(1, len({toks})), "
+                f"p{i} -> {toks}[p{i}] = {tq}), q{i} -> q{i} + {m - 1 - i})"
+            )
+        cast0 = "0.0"
+    else:
+        raise ValueError(dialect)
+    adjs = [adj(i, t) for i, t in enumerate(qterms)]
+    if dialect == "spark":
+        anchors = f"array_distinct(flatten(array({', '.join(adjs)})))"
+        chosen = [
+            f"array_min(filter({a}, x{i} -> x{i} >= a AND x{i} <= a + {slop}))"
+            for i, a in enumerate(adjs)
+        ]
+    else:
+        anchors = f"list_distinct(flatten([{', '.join(adjs)}]))"
+        chosen = [
+            f"list_min(list_filter({a}, x{i} -> x{i} >= a AND x{i} <= a + {slop}))"
+            for i, a in enumerate(adjs)
+        ]
+    allok = " AND ".join(f"({c}) IS NOT NULL" for c in chosen)
+    width = f"greatest({', '.join(chosen)}) - a" if m > 1 else f"({chosen[0]}) - a"
+    contrib = (
+        f"case when {allok} then 1.0 / (1.0 + cast({width} as double)) else {cast0} end"
+    )
+    if dialect == "spark":
+        return f"aggregate({anchors}, {cast0}, (acc, a) -> acc + ({contrib}))"
+    return f"coalesce(list_sum(list_transform({anchors}, a -> {contrib})), 0.0)"
+
+
 def _match_phrase(ctx: _Ctx, body: dict) -> Compiled:
     (field, spec), = body.items()
     if isinstance(spec, str):
@@ -323,22 +380,31 @@ def _match_phrase(ctx: _Ctx, body: dict) -> Compiled:
     qterms = analysis.analyze(spec["query"])
     if not qterms:
         return Compiled(predicate=F.lit(False))
+    slop = int(spec.get("slop", 0))
+    if slop > 0 and len(set(qterms)) != len(qterms):
+        raise ValueError("slop > 0 with repeated phrase terms is unsupported")
     stats = M.corpus_stats(ctx.docs, ctx.key_cols, list(set(qterms)), field)
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
     toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
     toks = toks.select(*ctx.key_cols, F.size("toks").alias("dl"), "toks")
-    # phrase freq: positions p with toks[p..p+m] == qterms (slop=0 default,
-    # index/search/MatchQuery.java:144); JVM-side via higher-order functions.
-    pos_ok = F.filter(
-        F.sequence(F.lit(0), F.size("toks") - len(qterms)),
-        lambda p: reduce(
-            lambda a, b: a & b,
-            [F.element_at("toks", (p + i + 1).cast("int")) == F.lit(t) for i, t in enumerate(qterms)],
-        ),
-    )
-    pf = toks.select(*ctx.key_cols, "dl", F.size(pos_ok).alias("pf")).where(
-        (F.col("pf") > 0) & (F.size("toks") >= len(qterms))
-    )
+    if slop > 0:
+        pf = toks.select(
+            *ctx.key_cols, "dl",
+            F.expr(sloppy_pf_expr(qterms, slop, "spark")).alias("pf"),
+        ).where(F.col("pf") > 0)
+    else:
+        # phrase freq: positions p with toks[p..p+m] == qterms (slop=0 default,
+        # index/search/MatchQuery.java:144); JVM-side via higher-order functions.
+        pos_ok = F.filter(
+            F.sequence(F.lit(0), F.size("toks") - len(qterms)),
+            lambda p: reduce(
+                lambda a, b: a & b,
+                [F.element_at("toks", (p + i + 1).cast("int")) == F.lit(t) for i, t in enumerate(qterms)],
+            ),
+        )
+        pf = toks.select(*ctx.key_cols, "dl", F.size(pos_ok).alias("pf")).where(
+            (F.col("pf") > 0) & (F.size("toks") >= len(qterms))
+        )
     # PhraseQuery idf = sum of per-term idf (Lucene PhraseWeight/Similarity.computeWeight)
     idf_sum = stats.term_df.crossJoin(F.broadcast(stats.n_and_avgdl)).agg(
         F.sum(F.expr(scoring.idf_sql("n_docs", "df"))).alias("idf"),

@@ -43,6 +43,7 @@ SEARCH_QUERIES: dict[str, dict] = {
         }
     },
     "match_phrase_topk": {"match_phrase": {"text": "table hash"}},
+    "match_phrase_slop_topk": {"match_phrase": {"text": {"query": "merge sort", "slop": 2}}},
     "term_scored": {"term": {"tool": "browser"}},
     "dis_max_topk": {
         "dis_max": {

@@ -98,3 +98,40 @@ class TestHdrPercentiles:
         row = aggs.aggregate(transcripts, body).collect()[0]
         # turn_idx in [0, 19]; at 10^3 accuracy the GK sketch is near-exact
         assert abs(row["p_p50"] - 9.0) <= 1.0
+
+
+class TestSloppyPhrase:
+    def _search(self, spark, rows, qd, k=10):
+        from elasticsearch_spark.plans import query_dsl as Q
+
+        docs = spark.createDataFrame(
+            [(f"c{i}", 0, t) for i, t in enumerate(rows)],
+            "conv_id string, turn_idx int, text string",
+        )
+        return {r.conv_id: r.score for r in Q.search(docs, qd, KEYS, k=k).collect()}
+
+    def test_slop_window_and_transposition(self, spark):
+        # slop=1 reaches one intervening token; transposed adjacent terms
+        # need slop=2 (Lucene adjusted-position semantics)
+        rows = ["merge sort now", "merge the sort", "sort merge", "merge a b sort", "none here"]
+        hit1 = self._search(spark, rows, {"match_phrase": {"text": {"query": "merge sort", "slop": 1}}})
+        assert set(hit1) == {"c0", "c1"}
+        # slop=2 reaches both the transposition (c2) and two intervening
+        # tokens (c3: "merge a b sort" = two position moves)
+        hit2 = self._search(spark, rows, {"match_phrase": {"text": {"query": "merge sort", "slop": 2}}})
+        assert set(hit2) == {"c0", "c1", "c2", "c3"}
+        # closer windows score higher (1/(1+width) freq saturation)
+        assert hit2["c0"] > hit2["c1"] > hit2["c3"]
+
+    def test_slop_zero_unchanged(self, spark):
+        rows = ["merge sort", "merge the sort"]
+        hit = self._search(spark, rows, {"match_phrase": {"text": {"query": "merge sort", "slop": 0}}})
+        assert set(hit) == {"c0"}
+
+    def test_repeated_terms_raise(self, spark, transcripts):
+        from elasticsearch_spark.plans import query_dsl as Q
+
+        with pytest.raises(ValueError, match="repeated"):
+            Q.search(transcripts, {"match_phrase": {"text": {"query": "a b a", "slop": 1}}}, KEYS, k=5)
+        with pytest.raises(ValueError, match="repeated"):
+            oracle.search_sql({"match_phrase": {"text": {"query": "a b a", "slop": 1}}}, 5)
