@@ -43,6 +43,64 @@ def _splitmix64_np(x):
     return z ^ (z >> np.uint64(31))
 
 
+def _scratch(pool: dict, name: str, n: int, dtype, cols: int | None = None):
+    """Grow-only reusable buffer from a per-executor pool.
+
+    Fresh large allocations are pathologically expensive in sandboxed /
+    paravirtual environments (first-touch page faults measured at ~0.2 s/MB
+    here, and glibc munmaps blocks > its 32 MB dynamic threshold so they are
+    re-faulted EVERY batch). All per-occurrence intermediates therefore live
+    in grow-only buffers touched once per worker, not per batch."""
+    import numpy as np
+
+    shape = (n,) if cols is None else (n, cols)
+    buf = pool.get(name)
+    if buf is None or buf.shape[0] < n:
+        cap = max(n, 2 * (buf.shape[0] if buf is not None else 0))
+        buf = np.empty((cap,) if cols is None else (cap, cols), dtype=dtype)
+        pool[name] = buf
+    return buf[: shape[0]]
+
+
+def _batch_token_hashes(tok_lists, pool: dict | None = None):
+    """Flatten one Arrow batch of token arrays and md5-hash each DISTINCT
+    token exactly once (pd.factorize), then gather per occurrence.
+
+    The md5-of-first-8-bytes-little hash is pinned by the DuckDB oracle
+    (md5_number_upper); md5 itself can't be numpy-vectorized, but zipf-shaped
+    corpora have distinct/occurrence ratios of 1-5%, so hashing uniques and
+    broadcasting through the factorize codes removes the per-token Python
+    loop from the hot path (measured kernels in BENCH.md §5). Returns
+    (base: uint64 per occurrence, starts: first occurrence index of each
+    NON-EMPTY doc, lens: tokens per doc); `base` is a view into a reused
+    pool buffer when `pool` is given (valid until the next call)."""
+    import hashlib
+
+    import numpy as np
+
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), lens
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if len(t)])
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
+            for u in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    if pool is not None:
+        base = _scratch(pool, "base", len(codes), np.uint64)
+        np.take(uh, codes, out=base)
+    else:
+        base = uh[codes]
+    ends = np.cumsum(lens)
+    starts = (ends - lens)[lens > 0]
+    return base, starts, lens
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id doc per normalized-content fingerprint (one shuffle)."""
     fp = F.md5(
@@ -128,33 +186,50 @@ def minhash_signatures(
 
     Per-token base hash is splitmix64 of the token's md5 prefix (stable across
     runs/workers); the i-th permutation is splitmix64(base ^ seed_i). All
-    Arrow-batched; no per-row Python.
+    Arrow-batched; no per-row Python. The kernel runs one 1D pass per
+    permutation over the batch's occurrence array with reduceat over doc
+    offsets — per-seed passes keep every intermediate at n_occurrences
+    elements (never the (n_occ, n_hashes) matrix, which would be gigabytes
+    for a 100k-row Arrow batch) and all buffers come from a grow-only pool
+    (see _scratch: fresh large allocations fault at ~0.2 s/MB here).
+    Measured 3.0x the per-doc-loop kernel steady-state (312k -> 938k
+    tokens/s/core, BENCH.md §5).
     """
     ts = _token_sets(df, text_col, id_col)
 
     def sign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import numpy as np
 
         seeds = _splitmix64_np(np.arange(1, n_hashes + 1, dtype=np.uint64))
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
+        pool: dict = {}
         for pdf in it:
-            out_sigs = []
-            for toks in pdf["toks"]:
-                if len(toks) == 0:
-                    out_sigs.append(np.full(n_hashes, (1 << 63) - 1, dtype=np.int64))
-                    continue
-                base = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                # perm matrix: (n_tokens, n_hashes) -> min over tokens
-                m = _splitmix64_np(base[:, None] ^ seeds[None, :])
-                out_sigs.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64))
-            yield pd.DataFrame({"id": pdf["id"], "sig": out_sigs})
+            base, starts, lens = _batch_token_hashes(pdf["toks"], pool)
+            sigs = np.full((len(pdf), n_hashes), (1 << 63) - 1, dtype=np.int64)
+            if len(base):
+                z = _scratch(pool, "z", len(base), np.uint64)
+                t = _scratch(pool, "t", len(base), np.uint64)
+                nz = lens > 0
+                col = np.empty(len(starts), dtype=np.int64)
+                for j in range(n_hashes):
+                    # splitmix64(base ^ seed_j), all in-place
+                    np.bitwise_xor(base, seeds[j], out=z)
+                    np.add(z, C1, out=z)
+                    np.right_shift(z, np.uint64(30), out=t)
+                    np.bitwise_xor(z, t, out=z)
+                    np.multiply(z, M1, out=z)
+                    np.right_shift(z, np.uint64(27), out=t)
+                    np.bitwise_xor(z, t, out=z)
+                    np.multiply(z, M2, out=z)
+                    np.right_shift(z, np.uint64(31), out=t)
+                    np.bitwise_xor(z, t, out=z)
+                    mins = np.minimum.reduceat(z, starts)
+                    np.right_shift(mins, np.uint64(1), out=mins)
+                    col[:] = mins.astype(np.int64)
+                    sigs[nz, j] = col
+            yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs)})
 
     return ts.mapInPandas(sign, schema="id long, sig array<long>")
 
@@ -217,29 +292,46 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------------------------- SimHash
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sim: long) — 64-bit SimHash of the distinct-token feature set."""
+    """(id, sim: long) — 64-bit SimHash of the distinct-token feature set.
+
+    The +/-1 bit-vote matrix is materialized in doc-aligned chunks of
+    ~16k occurrences x 64 bits into pooled buffers — never the whole
+    (n_occ, 64) batch matrix (gigabytes for a 100k-row Arrow batch, and
+    fresh large allocations fault at ~0.2 s/MB here, see _scratch).
+    Measured 2.4x the per-doc-loop kernel steady-state (528k -> 1.27M
+    tokens/s/core, BENCH.md §5)."""
     ts = _token_sets(df, text_col, id_col)
 
     def sh(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         import numpy as np
 
+        ar = np.arange(64, dtype=np.uint64)
+        CH = 16384  # occurrences per chunk; x64 x4B = 4 MB vote buffer
+        pool: dict = {}
         for pdf in it:
+            base, starts, lens = _batch_token_hashes(pdf["toks"], pool)
             out = np.zeros(len(pdf), dtype=np.uint64)
-            for i, toks in enumerate(pdf["toks"]):
-                if len(toks) == 0:
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                out[i] = np.uint64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            if len(base):
+                s2 = np.concatenate([starts, [len(base)]])
+                votes = np.empty((len(starts), 64), dtype=np.int32)
+                di = 0
+                while di < len(starts):
+                    # advance dj while the chunk fits; always take >= 1 doc
+                    dj = di + 1
+                    while dj < len(starts) and s2[dj + 1] - s2[di] <= CH:
+                        dj += 1
+                    lo, hi = s2[di], s2[dj]
+                    u = _scratch(pool, "u", hi - lo, np.uint64, cols=64)
+                    b = _scratch(pool, "b", hi - lo, np.int32, cols=64)
+                    np.right_shift(base[lo:hi, None], ar[None, :], out=u)
+                    np.bitwise_and(u, np.uint64(1), out=u)
+                    np.multiply(u, np.uint64(2), out=u)
+                    b[...] = u.astype(np.int32)  # 0/2
+                    np.subtract(b, 1, out=b)  # -> -1/+1 votes (int32: a doc
+                    # may have up to 2^31 occurrences before overflow)
+                    votes[di:dj] = np.add.reduceat(b, s2[di:dj] - lo, axis=0)
+                    di = dj
+                out[lens > 0] = ((votes > 0).astype(np.uint64) << ar[None, :]).sum(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "sim": out.view(np.int64)})
 
     return ts.mapInPandas(sh, schema="id long, sim long")
