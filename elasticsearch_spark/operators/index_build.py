@@ -76,9 +76,28 @@ DOC_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 # fields with full-text postings (DOCS_AND_FREQS_AND_POSITIONS). The reference
 # indexes every mapped text field into the same per-segment inverted index
 # (index/mapper/TextFieldMapper.java); here `text` is the body and `tool` the
-# secondary match/multi_match-able field. Keyword-style filters (role, tool
-# equality, turn_idx ranges) stay on the docs tables = the doc-values path.
+# secondary match/multi_match-able field.
 INDEXED_FIELDS = ["text", "tool"]
+
+# keyword subfields: UNTOKENIZED single-term postings over the raw value
+# (index/mapper/KeywordFieldMapper.java — keyword fields index the exact
+# value, norms disabled, so a term query is answered from the terms
+# dictionary in O(df), TermQueryBuilder -> TermStates). One posting per doc,
+# tf=1, no positions, no norms; dictionary df == exact-equality doc count by
+# construction, so term/terms queries anchor the block-max kernel instead of
+# scanning the docs tables. Numeric ranges (turn_idx, ts) stay on the docs
+# tables = the doc-values path.
+KEYWORD_FIELDS = ["role", "tool"]
+
+
+def kw_field(f: str) -> str:
+    """Postings field name of a keyword subfield (ES `<field>.keyword`)."""
+    return f + ".kw"
+
+
+# fid order in the packed shuffle key: analyzed fields first, then keyword
+# subfields. 4-bit fid budget (PACK layout below) => at most 8 total.
+POSTING_FIELDS = INDEXED_FIELDS + [kw_field(f) for f in KEYWORD_FIELDS]
 
 
 def dl_col(f: str) -> str:
@@ -208,7 +227,7 @@ def _encode_runs(term_of_run, codes: "np.ndarray", packed: "np.ndarray"):
     new_run[1:] = (codes[1:] != codes[:-1]) | (fidbk[1:] != fidbk[:-1])
     starts = np.flatnonzero(new_run)
 
-    fields_arr = np.array(INDEXED_FIELDS, dtype=object)
+    fields_arr = np.array(POSTING_FIELDS, dtype=object)
     bk = fidbk & ((1 << (PACK_ORD_BITS - BLOCK_BITS)) - 1)
     ords = (packed >> PACK_ORD_SHIFT) & ((1 << PACK_ORD_BITS) - 1)
     norms = (packed & 0xFF).astype(np.uint8)
@@ -393,6 +412,21 @@ def build_segment(
             ).alias("packed"),
         )
         occ = o if occ is None else occ.unionByName(o)
+    # keyword subfields ride the SAME shuffle: one occurrence per doc, term =
+    # the raw value (KeywordFieldMapper indexes the exact bytes), pos=0 and
+    # norm=0 (norms disabled on keyword fields). Adds one row per doc per
+    # keyword field — negligible next to the text-token volume — and buys
+    # O(df) term/terms queries from the dictionary instead of docs scans.
+    for j, f in enumerate(KEYWORD_FIELDS):
+        fid = len(INDEXED_FIELDS) + j
+        o = docs.where(F.col(f).isNotNull()).select(
+            F.col(f).alias("term"),
+            (
+                F.lit(fid << PACK_FID_SHIFT)
+                + F.shiftleft(F.col("ordinal"), PACK_ORD_SHIFT)
+            ).alias("packed"),
+        )
+        occ = occ.unionByName(o)
     p = partitions or spark.sparkContext.defaultParallelism
     # NO Spark-side sort: the Arrow kernel dictionary-encodes + int-sorts the
     # partition columnar-side (see _encode_partition), which measurably beats
@@ -428,7 +462,7 @@ def build_segment(
         sum_dl=field_sum_dl["text"],
         slice_id=slice_id,
         tier_bytes=store.dir_size(seg_id),
-        metrics={"partitions": p},
+        metrics={"partitions": p, "posting_fields": list(POSTING_FIELDS)},
         field_sum_dl=field_sum_dl,
     )
     return meta
@@ -448,15 +482,55 @@ def build_index(
     Slices are deterministic hash buckets of conv_id (ES routing analog:
     floorMod(hash(routing), shards), OperationRouting.java:283-310).
     `fail_after_slices` simulates a mid-build crash for resume tests.
+
+    Multi-slice inputs are staged ONCE: one repartition-by-slice pass writes
+    the input partitioned by slice id, and each per-slice segment build is a
+    partition-pruned read of its own slice. A per-slice `df.where(hash == i)`
+    loop would re-scan the full input n_slices times — at a 10^12-turn build
+    sized to hundreds of slices that is hundreds of reads of a ~100 TB table;
+    staging costs one read + one (columnar, compressed) write. Per-slice
+    commits are unchanged, so a killed build still resumes from the manifest,
+    and a resume reuses the staged slices without re-reading the input
+    (the _STAGED marker records the slice count it was written for).
     """
+    import os
+    import shutil
+
     store = SegmentStore(root)
     done = store.completed_slices() if resume else set()
     built = 0
+    staging = None
+    todo = [
+        i for i in range(n_slices) if f"slice_{i:04d}_of_{n_slices}" not in done
+    ]
+    if n_slices > 1 and todo:
+        staging = os.path.join(root, "staging")
+        marker = os.path.join(staging, "_STAGED")
+        staged_ok = False
+        if resume and os.path.exists(marker):
+            with open(marker) as fh:
+                staged_ok = fh.read().strip() == str(n_slices)
+        if not staged_ok:
+            (
+                df.withColumn(
+                    "_slice", F.pmod(F.xxhash64("conv_id"), F.lit(n_slices))
+                )
+                .write.mode("overwrite")
+                .partitionBy("_slice")
+                .parquet(staging)
+            )
+            with open(marker, "w") as fh:
+                fh.write(str(n_slices))
+        staged = spark.read.parquet(staging)
     for i in range(n_slices):
         slice_id = f"slice_{i:04d}_of_{n_slices}"
         if slice_id in done:
             continue
-        part = df.where(F.pmod(F.xxhash64("conv_id"), F.lit(n_slices)) == i) if n_slices > 1 else df
+        part = (
+            staged.where(F.col("_slice") == i).drop("_slice")
+            if staging is not None
+            else df
+        )
         meta = build_segment(spark, store, part, slice_id, partitions)
         snap = store.snapshot()
         live = (snap.segments if snap else []) + [meta]
@@ -464,5 +538,7 @@ def build_index(
         store.commit(live, "append", delete_files=dels, summary={"slice": slice_id})
         built += 1
         if fail_after_slices is not None and built >= fail_after_slices:
-            break
+            return store  # simulated crash: keep staging for the resume
+    if staging is not None:
+        shutil.rmtree(staging, ignore_errors=True)
     return store

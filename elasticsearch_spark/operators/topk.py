@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions import analysis, scoring
 from ..sources.segment_store import SegmentStore, Snapshot
-from .index_build import BLOCK_RANGE, INDEXED_FIELDS
+from .index_build import BLOCK_RANGE, INDEXED_FIELDS, KEYWORD_FIELDS, kw_field
 
 BUCKET_BLOCKS = 64  # blocks per kernel group: intra-segment parallelism unit
 DENY_FID = -1  # channel id reserved for positional deletes
@@ -65,6 +65,10 @@ class TermsLeaf:
     need: int = 1
     const_score: float | None = None
     need_fid: int | None = None
+    # keyword term/terms leaf: const_score is the matched term's idf, bound at
+    # stats time (bind_weights) from the same term-dictionary lookup that
+    # serves every other leaf — no extra per-leaf stats job at lowering.
+    const_from_idf: bool = False
 
 
 @dataclass
@@ -93,9 +97,13 @@ class IntervalsLeaf:
     """intervals `match` source / span_near positions algebra
     (IntervalQueryBuilder.java reg SearchModule.java:835,
     SpanNearQueryBuilder.java reg :804): ordered = exists p1<...<pm with
-    pm-p1-(m-1) <= max_gaps; unordered arity <= 2 pairwise. Constant 1.0
-    score per matching doc (documented divergence: Lucene saturates by
-    1/(1+slop) over minimal interval width, IntervalScoreFunction).
+    pm-p1-(m-1) <= max_gaps; unordered arity <= 2 pairwise. Arity >= 2
+    chains score 1/(1 + min slop) — the 1/(1+slop) sloppy saturation over
+    the BEST window (IntervalScoreFunction shape); single-term, span_or,
+    and within/containing shapes score 1.0. Documented divergence: Lucene
+    sums 1/(1+slop) over every minimal interval as a freq through the field
+    similarity; doc sets and proximity ordering match, absolute scores
+    need not.
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
@@ -349,6 +357,33 @@ class _Lowerer:
             return "false"
         raise ValueError(f"indexed path cannot lower predicate: {lk}")
 
+    def keyword_postings_leaf(self, field_: str, values: list[str]):
+        """term/terms in scoring context on a keyword subfield: anchored
+        const-score leaves answered from the untokenized postings (the
+        TermStates lookup, O(df) candidates like the reference's
+        TermQueryBuilder) instead of a full docs scan + count job. The
+        dictionary df of a keyword subfield IS the exact-equality doc count
+        (index_build.KEYWORD_FIELDS), so scores match keyword_idf_leaf
+        exactly: idf of the doc's matched value, bound at stats time
+        (const_from_idf) by the one shared term-stats job."""
+        if len(values) == 1:
+            return TermsLeaf(
+                field=field_, terms=[values[0]], need=1,
+                const_score=0.0, const_from_idf=True,
+            )
+        # single-valued field => exactly one child matches; dis_max(max)
+        # reproduces the per-value idf of keyword_idf_leaf's CASE channel
+        return DisMaxNode(
+            children=[
+                TermsLeaf(
+                    field=field_, terms=[v], need=1,
+                    const_score=0.0, const_from_idf=True,
+                )
+                for v in values
+            ],
+            tie=0.0,
+        )
+
     def keyword_idf_leaf(self, col: str, values: list) -> ChannelLeaf:
         """term/terms in scoring context: score = idf(doc's value) on a
         norms-less keyword field (query_dsl._keyword_idf_scored twin). df per
@@ -411,8 +446,18 @@ class _Lowerer:
         if field_ in INDEXED_FIELDS:
             exps = expand_terms(self.spark, self.store, self.snap, field_, kind, value)
             return TermsLeaf(field=field_, terms=exps, need=1, const_score=1.0)
-        # keyword field: token-set test degenerates to a whole-value test only
-        # for exact kinds; lower via SQL where expressible
+        if field_ in KEYWORD_FIELDS and all(
+            kw_field(field_) in (seg.metrics.get("posting_fields") or ())
+            for seg in self.snap.segments
+        ):
+            # MultiTermQuery enumeration over the keyword subfield's term
+            # dictionary (whole raw values) — O(dictionary), not O(corpus)
+            exps = expand_terms(
+                self.spark, self.store, self.snap, kw_field(field_), kind, value
+            )
+            return TermsLeaf(field=kw_field(field_), terms=exps, need=1, const_score=1.0)
+        # keyword field without subfield postings: whole-value test via SQL
+        # where expressible
         if kind == "prefix":
             fid = self.chan(f"case when {field_} like '{value}%' then 1.0 end", "allow")
             return ChannelLeaf(fid, const=1.0)
@@ -560,6 +605,22 @@ class _Lowerer:
         if kind in ("term", "terms"):
             (col, v), = body.items()
             vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
+            if (
+                col in KEYWORD_FIELDS
+                and not self.snap.delete_files
+                and all(isinstance(x, str) for x in vals)
+            ):
+                # exact values answered from the keyword-subfield postings in
+                # O(df). Stores with deletes stay on the channel path: the
+                # dictionary df still counts deleted docs, the doc-count job
+                # doesn't. Segments from manifests written before keyword
+                # subfields existed would silently have df=0 for every value,
+                # so the capability marker gates the rewrite per snapshot.
+                if all(
+                    kw_field(col) in (seg.metrics.get("posting_fields") or ())
+                    for seg in self.snap.segments
+                ):
+                    return self.keyword_postings_leaf(kw_field(col), vals)
             return self.keyword_idf_leaf(col, vals)
         if kind in ("range", "exists", "ids", "match_all", "match_none"):
             fid = self.chan(f"case when {self.pred_sql(q)} then 1.0 end", "allow")
@@ -1094,6 +1155,21 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     match = np.zeros(n, dtype=bool)
                     match[np.searchsorted(docs_u, hit_docs)] = True
                     return match, np.where(match, 1.0, 0.0)
+
+                def _minslop_scores(occ, slops):
+                    # per-doc score = 1/(1 + min slop) over surviving
+                    # occurrences (sloppy saturation of the best window)
+                    hd = occ >> _POS_SHIFT
+                    hit, inv = np.unique(hd, return_inverse=True)
+                    ms = np.full(len(hit), np.inf)
+                    np.minimum.at(ms, inv, slops.astype(np.float64))
+                    match = np.zeros(n, dtype=bool)
+                    score = np.zeros(n)
+                    ii = np.searchsorted(docs_u, hit)
+                    match[ii] = True
+                    score[ii] = 1.0 / (1.0 + ms)
+                    return match, score
+
                 if m_ == 1:
                     k0 = ks[0]
                     if node.first_end is not None:
@@ -1136,7 +1212,11 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                                 exk[np.minimum(idx_e, len(exk) - 1)] <= cur
                             )
                             good = good & ~in_win
-                    hit_docs = np.unique(start[good] >> _POS_SHIFT)
+                    # greedy end is the minimal end from each start, so
+                    # cur - start - (m-1) is the per-start minimal slop
+                    return _minslop_scores(
+                        start[good], (cur - start - (m_ - 1))[good]
+                    )
                 else:  # unordered, pairwise (arity 2 enforced at lowering)
                     a, barr = ks[0], ks[1]
                     idx = np.searchsorted(barr, a + 1)
@@ -1151,7 +1231,15 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     okl &= (cl >> _POS_SHIFT) == (a >> _POS_SHIFT)
                     if node.max_gaps >= 0:
                         okl &= (a - cl - 1) <= node.max_gaps
-                    hit_docs = np.unique((a[okr | okl]) >> _POS_SHIFT)
+                    # nearest-right/left neighbors are the minimal-slop
+                    # partners for each left occurrence
+                    slop_a = np.full(len(a), np.inf)
+                    if okr.any():
+                        slop_a[okr] = (cr - a - 1)[okr]
+                    if okl.any():
+                        slop_a[okl] = np.minimum(slop_a[okl], (a - cl - 1)[okl])
+                    sel = okr | okl
+                    return _minslop_scores(a[sel], slop_a[sel])
                 match = np.zeros(n, dtype=bool)
                 match[np.searchsorted(docs_u, hit_docs)] = True
                 return match, np.where(match, 1.0, 0.0)
@@ -1310,6 +1398,51 @@ def run_kernel(postings: DataFrame, extras: DataFrame, kernel) -> DataFrame:
 
 
 # --------------------------------------------------------------- execution
+MAX_CHANNEL_PRUNE_RANGES = 256  # fall back to a full scan past this
+
+
+def _candidate_block_pred(blocks: list[tuple[str, int]]):
+    """OR-of-ordinal-range predicate covering the candidate postings blocks.
+
+    An anchored kernel plan can only match docs that appear in at least one
+    query-term postings row, and a doc's postings live in block
+    bk = ordinal >> BLOCK_BITS of its own segment — so channel rows (docs
+    scans for function_score values, terms_set thresholds, filters, ...)
+    are only needed for ordinals inside the candidate blocks. The ranges
+    are plain ordinal comparisons, so Parquet row-group pruning applies
+    (docs files are ordinal-sorted). Returns None when the block list is too
+    fragmented for a useful predicate (query terms spread over the whole
+    corpus — a full scan is the honest plan then)."""
+    by_seg: dict[str, list[int]] = {}
+    for seg, bk in blocks:
+        by_seg.setdefault(seg, []).append(bk)
+    n_ranges = 0
+    pred = None
+    for seg, bks in sorted(by_seg.items()):
+        bks = sorted(set(bks))
+        ranges = []
+        lo = prev = bks[0]
+        for bk in bks[1:]:
+            if bk == prev + 1:
+                prev = bk
+                continue
+            ranges.append((lo, prev))
+            lo = prev = bk
+        ranges.append((lo, prev))
+        n_ranges += len(ranges)
+        if n_ranges > MAX_CHANNEL_PRUNE_RANGES:
+            return None
+        rc = None
+        for lo_, hi_ in ranges:
+            c = (F.col("ordinal") >= lo_ * BLOCK_RANGE) & (
+                F.col("ordinal") < (hi_ + 1) * BLOCK_RANGE
+            )
+            rc = c if rc is None else (rc | c)
+        c = (F.col("segment") == seg) & rc
+        pred = c if pred is None else (pred | c)
+    return pred
+
+
 def _channels_df(
     spark: SparkSession, docs: DataFrame, channels: list[Channel],
     del_df: DataFrame | None,
@@ -1481,6 +1614,11 @@ def search_indexed(
     }
     # bind phrase idf weights now that stats are known
     def bind_weights(node):
+        if isinstance(node, TermsLeaf) and node.const_from_idf:
+            # keyword term/terms leaf: score = idf of the single value, from
+            # the same dictionary stats job as every other leaf. df counts
+            # exact-equality docs (keyword subfields index the raw value).
+            node.const_score = weights.get((node.field, node.terms[0]), 0.0)
         if isinstance(node, PhraseLeaf):
             if node.prefix_expansions is not None:
                 # match_phrase_prefix: idf over complete leading terms only
@@ -1502,7 +1640,24 @@ def search_indexed(
     if not live_ft:
         return _empty_result(docs)
     postings = read_segment_postings(spark, store, snap, live_ft)
-    extras = _channels_df(spark, docs, plan.channels, del_df)
+    chan_docs = docs
+    if plan.channels:
+        # candidate-prune the channels scan: only docs in blocks that hold
+        # query-term postings can match an anchored plan (every KernelPlan is
+        # _anchored), so channel rows (function_score values, terms_set
+        # thresholds, filters) are only needed inside candidate blocks —
+        # anchored function_score/terms_set queries must not scan O(corpus).
+        # The collect is capped: past the cap the query's terms cover a large
+        # share of the corpus and a full scan is the honest plan anyway.
+        cap = MAX_CHANNEL_PRUNE_RANGES * 64
+        rows = (
+            postings.select("segment", "bk").distinct().limit(cap + 1).collect()
+        )
+        if len(rows) <= cap:
+            pred = _candidate_block_pred([(r["segment"], r["bk"]) for r in rows])
+            if pred is not None:
+                chan_docs = docs.where(pred)
+    extras = _channels_df(spark, chan_docs, plan.channels, del_df)
     kernel = _make_kernel(plan.tree, weights, avgdl, k, plan.phrase_fts)
     local = run_kernel(postings, extras, kernel)
 

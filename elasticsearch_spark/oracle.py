@@ -214,7 +214,9 @@ def _terms_set_sql(field: str, spec: dict, alias: str) -> tuple[str, str]:
 
 
 def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
-    """Twin of plans/query_dsl._intervals (match source, constant score)."""
+    """Twin of plans/query_dsl._intervals (match source). Arity >= 2
+    chains score 1/(1 + min slop) — the sloppy saturation of the best
+    window; single-term and within/containing shapes score 1.0 (slop 0)."""
     from .functions.analysis import analyze
 
     (field, spec), = body.items()
@@ -289,27 +291,48 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         else:
             cond = f"len({p0}) > 0"
     elif ordered:
-        gap = "true" if max_gaps < 0 else f"pm - p0 - {m - 1} <= {max_gaps}"
-        inner = f"({gap.replace('pm', f'p{m-1}')})"
+        # per-start greedy chain end (smallest valid successor at each step
+        # minimizes the final width — twin of the kernel's greedy chain);
+        # per-doc score = 1/(1 + min slop) over surviving starts
+        end = "p0"
+        for i in range(1, m):
+            end = f"list_min(list_filter({pos(qterms[i])}, p -> p > ({end})))"
+        valid = f"({end}) IS NOT NULL"
+        if max_gaps >= 0:
+            valid += f" AND ({end}) - p0 - {m - 1} <= {max_gaps}"
         if not_terms:
-            inner = (
-                f"({inner} AND len(list_filter({ex_pos()}, "
-                f"q -> q >= p0 AND q <= p{m-1})) = 0)"
+            valid += (
+                f" AND len(list_filter({ex_pos()}, "
+                f"q -> q >= p0 AND q <= ({end}))) = 0"
             )
-        for i in range(m - 1, 0, -1):
-            inner = (
-                f"len(list_filter({pos(qterms[i])}, "
-                f"p{i} -> p{i} > p{i-1} AND {inner})) > 0"
-            )
-        cond = f"len(list_filter({pos(qterms[0])}, p0 -> {inner})) > 0"
+        slops = (
+            f"list_filter(list_transform({pos(qterms[0])}, "
+            f"p0 -> CASE WHEN {valid} THEN ({end}) - p0 - {m - 1} END), "
+            f"s -> s IS NOT NULL)"
+        )
     elif m == 2:
-        gap = "true" if max_gaps < 0 else f"abs(a - b) - 1 <= {max_gaps}"
-        cond = (
-            f"len(list_filter({pos(qterms[0])}, a -> "
-            f"len(list_filter({pos(qterms[1])}, b -> a <> b AND {gap})) > 0)) > 0"
+        gapf = "" if max_gaps < 0 else f" AND abs(a - b) - 1 <= {max_gaps}"
+        slops = (
+            f"list_filter(list_transform({pos(qterms[0])}, a -> "
+            f"list_min(list_transform(list_filter({pos(qterms[1])}, "
+            f"b -> b <> a{gapf}), b -> abs(a - b) - 1))), s -> s IS NOT NULL)"
         )
     else:
         raise ValueError("unordered intervals support arity <= 2")
+    if m >= 2:
+        # sloppy saturation: score = 1/(1 + minimal interval slop), the
+        # IntervalScoreFunction / SloppyPhraseScorer shape over the BEST
+        # window (documented divergence: Lucene sums 1/(1+slop) over every
+        # minimal interval as a freq; we take the best window only)
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 / (1 + list_min(slops)) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {{slops}} AS slops
+    FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+  ) WHERE len(slops) > 0
+)""".replace("{slops}", slops)
+        return c, a
     c = f"""
 {a} AS (
   SELECT conv_id, turn_idx, 1.0 AS score

@@ -154,7 +154,8 @@ def _rewrite_span(kind: str, body: dict) -> dict:
     rewrites to the OR match (documented divergence: Lucene scores the merged
     span enumeration, we sum per-term BM25 — same matches, close scores);
     span_near/span_first/span_not map onto the positions-interval machinery
-    with constant 1.0 scores (divergence shared with the intervals query)."""
+    scored 1/(1 + min slop) for arity >= 2 chains and 1.0 otherwise (the
+    sloppy-saturation shape; divergence notes on _intervals)."""
     if kind == "span_term":
         f, ts = _span_terms({kind: body})
         return {"match": {f: {"query": ts[0]}}}
@@ -516,11 +517,15 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     matches when the analyzed terms occur within an interval of width
     max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
 
-    Scoring divergence (documented): constant 1.0 per matching doc — Lucene
-    scores intervals by a 1/(1+slop) saturation over minimal interval freq
-    (IntervalScoreFunction); the oracle mirrors the constant. Ordered matching
-    supports any arity via nested position quantifiers; unordered is the
-    2-term pairwise form (ES any-order interval), arity > 2 unsupported.
+    Scoring: arity >= 2 chains score 1/(1 + min slop) — the 1/(1+slop)
+    sloppy saturation (IntervalScoreFunction / SloppyPhraseScorer shape)
+    over the BEST window; single-term and within/containing shapes score
+    1.0 (slop 0). Documented divergence: Lucene sums 1/(1+slop) over every
+    minimal interval as a freq and runs it through the field similarity;
+    we score the best window only, so doc SETS match and proximity ordering
+    matches, absolute scores need not. Ordered matching supports any arity
+    via greedy minimal chains; unordered is the 2-term pairwise form (ES
+    any-order interval), arity > 2 unsupported.
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -601,33 +606,57 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         else:
             hit = F.size(ps) > 0
     elif ordered:
-        # exists p1 < p2 < ... < pm with pm - p1 - (m-1) <= max_gaps, and
-        # (span_not) no excluded occurrence inside [p1, pm]
-        def nest(i: int, prev, first):
-            ps = positions(qterms[i])
-            if i == m - 1:
-                def cond(p):
-                    c = p > prev
-                    if max_gaps >= 0:
-                        c = c & (p - first - (m - 1) <= max_gaps)
-                    if not_terms:
-                        c = c & ~F.exists(
-                            ex_positions(), lambda q2: (q2 >= first) & (q2 <= p)
-                        )
-                    return c
+        # greedy minimal chain per start p0 (the smallest valid successor at
+        # each step minimizes the final width, so the greedy end is the
+        # minimal end over all chains from p0); per-doc score = 1/(1 + min
+        # slop) over surviving starts — twin of the kernel and the oracle
+        def chain_end(p0):
+            end = p0
+            for i in range(1, m):
+                e = end
+                end = F.array_min(F.filter(positions(qterms[i]), lambda p: p > e))
+            return end
 
-                return F.exists(ps, cond)
-            return F.exists(ps, lambda p: nest(i + 1, p, first))
+        def slop_of(p0):
+            end = chain_end(p0)
+            ok = end.isNotNull()
+            if max_gaps >= 0:
+                ok = ok & (end - p0 - (m - 1) <= F.lit(max_gaps))
+            if not_terms:
+                ok = ok & ~F.exists(
+                    ex_positions(), lambda q2: (q2 >= p0) & (q2 <= end)
+                )
+            return F.when(ok, end - p0 - (m - 1))
 
-        hit = F.exists(positions(qterms[0]), lambda p: nest(1, p, p))
+        slops = F.filter(
+            F.transform(positions(qterms[0]), slop_of), lambda s: s.isNotNull()
+        )
+        min_slop = F.array_min(slops)
+        scored = (
+            toks.select(*ctx.key_cols, min_slop.alias("_ms"))
+            .where(F.col("_ms").isNotNull())
+            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
+        )
+        return Compiled(scored=scored)
     elif m == 2:
         pa, pb = positions(qterms[0]), positions(qterms[1])
-        gap_ok = (
-            (lambda a, b: F.lit(True))
-            if max_gaps < 0
-            else (lambda a, b: F.abs(a - b) - 1 <= max_gaps)
+
+        def best_of(aa):
+            cand = F.filter(pb, lambda bb: bb != aa)
+            if max_gaps >= 0:
+                cand = F.filter(
+                    pb, lambda bb: (bb != aa) & (F.abs(aa - bb) - 1 <= max_gaps)
+                )
+            return F.array_min(F.transform(cand, lambda bb: F.abs(aa - bb) - 1))
+
+        slops = F.filter(F.transform(pa, best_of), lambda s: s.isNotNull())
+        min_slop = F.array_min(slops)
+        scored = (
+            toks.select(*ctx.key_cols, min_slop.alias("_ms"))
+            .where(F.col("_ms").isNotNull())
+            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
         )
-        hit = F.exists(pa, lambda a: F.exists(pb, lambda b: (a != b) & gap_ok(a, b)))
+        return Compiled(scored=scored)
     else:
         raise ValueError("unordered intervals support arity <= 2")
     scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))

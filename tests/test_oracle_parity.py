@@ -8,7 +8,12 @@ import pytest
 
 from elasticsearch_spark import oracle
 from elasticsearch_spark.plans import query_dsl as Q
-from elasticsearch_spark.queryset import DEFAULT_K, SEARCH_QUERIES
+from elasticsearch_spark.queryset import (
+    DEFAULT_K,
+    INTERVALS_QUERIES,
+    SEARCH_QUERIES,
+    SPAN_QUERIES,
+)
 
 KEYS = ["conv_id", "turn_idx"]
 
@@ -22,9 +27,12 @@ def duck(sf_dir):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(SEARCH_QUERIES))
+ALL_QUERIES = {**SEARCH_QUERIES, **INTERVALS_QUERIES, **SPAN_QUERIES}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, transcripts, duck):
-    qd = SEARCH_QUERIES[name]
+    qd = ALL_QUERIES[name]
     got = {
         (r.conv_id, r.turn_idx, r.score)
         for r in Q.search(transcripts, qd, KEYS, k=DEFAULT_K).collect()
