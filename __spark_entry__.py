@@ -107,6 +107,9 @@ R3_WINDOW = [
     "search_match_phrase_slop_topk", "indexed_match_phrase_slop_topk",
     "agg_missing", "agg_serial_diff", "agg_stats_bucket", "agg_bucket_sort",
     "agg_sampler", "agg_significant_text",
+    # -- round-3 additions: pytest-only surfaces promoted to driver fixtures
+    "multi_index_search", "cursor_scroll_pages", "cursor_sliced_scroll",
+    "cursor_from_size", "suggest_phrase",
 ]
 
 

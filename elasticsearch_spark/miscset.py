@@ -239,6 +239,165 @@ def _stream_oracle() -> str:
     return oracle.search_sql(SEARCH_QUERIES["match_or_topk"], 10)
 
 
+# --- Multi-index search (TransportSearchAction.java:464 — several indices
+# resolve to a union, each scored with its OWN corpus stats): the corpus is
+# split into two disjoint stores by turn_idx parity, multi_store_search
+# merges per-index top-k; the oracle runs the SAME BM25 SQL per subset and
+# merges, so per-index idf is what the hash-match certifies.
+_MIDX_QUERY_NAME = "match_or_topk"
+_MIDX_PRED = ["turn_idx % 2 = 0", "turn_idx % 2 = 1"]
+
+
+def fx_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators import index_build, topk
+    from .queryset import SEARCH_QUERIES
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    stores = []
+    for i, pred in enumerate(_MIDX_PRED):
+        root = tempfile.mkdtemp(prefix=f"es_spark_midx{i}_")
+        stores.append(
+            index_build.build_index(
+                spark, docs.where(pred), root, n_slices=1, partitions=4
+            )
+        )
+    return topk.multi_store_search(spark, stores, SEARCH_QUERIES[_MIDX_QUERY_NAME], k=10)
+
+
+def _multi_index_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+
+    arms = []
+    for pred in _MIDX_PRED:
+        sql = oracle.search_sql(SEARCH_QUERIES[_MIDX_QUERY_NAME], 10)
+        # per-index corpus stats: re-scope the transcripts CTE to the subset
+        filtered = TRANSCRIPTS_CTE[:-1].replace(
+            "WITH transcripts AS (", "WITH transcripts AS (SELECT * FROM (", 1
+        ) + f") WHERE {pred})"
+        arms.append("SELECT * FROM (" + sql.replace(TRANSCRIPTS_CTE, filtered, 1) + ")")
+    return (
+        "SELECT conv_id, turn_idx, score FROM (\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\n) ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"
+    )
+
+
+# --- Scroll / sliced scroll (point-in-time cursor, search/slice/
+# SliceBuilder.java): a read-only store shared across fixtures (Scroll pins
+# a snapshot and never writes)
+_RO_STORES: dict[str, object] = {}
+
+
+def _ro_store(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from .operators import index_build
+
+    if sf_dir not in _RO_STORES:
+        root = tempfile.mkdtemp(prefix="es_spark_ro_")
+        _RO_STORES[sf_dir] = index_build.build_index(
+            spark, TR.transcripts_view(spark, sf_dir), root, n_slices=1, partitions=4
+        )
+    return _RO_STORES[sf_dir]
+
+
+def fx_scroll_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three scroll pages of 9 == the first 27 docs in (conv_id, turn_idx)
+    order (single-slice stores assign ordinals in exactly that order)."""
+    from .operators.cursor import Scroll
+
+    sc = Scroll(spark, _ro_store(spark, sf_dir), size=9, predicate="role = 'user'")
+    rows = []
+    for _ in range(3):
+        rows += [(r.conv_id, r.turn_idx, r.role) for r in sc.next_page()]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+_SCROLL_ORACLE = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role FROM transcripts WHERE role = 'user'
+ORDER BY conv_id, turn_idx LIMIT 27"""
+
+
+def fx_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain all 3 slices to exhaustion: the union must be exactly the
+    predicate's doc set (slices disjoint + exhaustive), which is what the
+    rows+hash match against the sliceless oracle certifies."""
+    from .operators.cursor import Scroll
+
+    store = _ro_store(spark, sf_dir)
+    rows = []
+    for sid in range(3):
+        sc = Scroll(
+            spark, store, size=200, predicate="role <> 'system'",
+            n_slices=3, slice_id=sid,
+        )
+        while True:
+            page = sc.next_page()
+            if not page:
+                break
+            rows += [(r.conv_id, r.turn_idx) for r in page]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int")
+
+
+_SLICED_SCROLL_ORACLE = f"""{TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx FROM transcripts WHERE role <> 'system'"""
+
+
+def fx_from_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset pagination: page 2 (from=10, size=10) of a scored search."""
+    from .operators.cursor import from_size
+    from .plans import query_dsl as Q
+    from .queryset import SEARCH_QUERIES
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    scored = Q.search(docs, SEARCH_QUERIES["match_or_topk"], ["conv_id", "turn_idx"], k=20)
+    return from_size(scored, from_=10, size=10)
+
+
+def _from_size_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+
+    return oracle.search_sql(SEARCH_QUERIES["match_or_topk"], 10) + " OFFSET 10"
+
+
+def fx_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir)
+    return suggest.phrase_suggest(docs, SUGGEST_TEXT, max_edits=1, size=3)
+
+
+_PHRASE_SUGGEST_ORACLE = f"""{TRANSCRIPTS_CTE},
+td AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, unnest(list_distinct({_TOKS})) AS term
+    FROM transcripts
+  ) GROUP BY term
+),
+inputs AS (SELECT * FROM (VALUES ('sparc', 1), ('quer', 2), ('tabel', 3)) AS t(input, ord)),
+cand AS (
+  SELECT input, ord, term, df, levenshtein(term, input) AS distance
+  FROM td CROSS JOIN inputs
+  WHERE abs(length(term) - length(input)) <= 1 AND levenshtein(term, input) <= 1
+),
+best AS (
+  SELECT input, term, df FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY input ORDER BY distance, df DESC, term) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT i.ord, coalesce(b.term, i.input) AS corrected, coalesce(b.df, 0) AS df
+  FROM inputs i LEFT JOIN best b ON b.input = i.input
+)
+SELECT string_agg(corrected, ' ' ORDER BY ord) AS suggestion,
+       round(sum(ln(1 + df)), 4) AS score
+FROM tok"""
+
+
 def fx_update_old_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fork's signature feature (req_old_source/req_new_source,
     UpdateResponse.java:97-110, FetchSourceContext.java:124-186): an
@@ -279,6 +438,11 @@ ORDER BY img, conv_id, turn_idx"""
 MISC_QUERY_FNS = {
     "ingest_pipeline": fx_ingest,
     "update_old_new_source": fx_update_old_new,
+    "multi_index_search": fx_multi_index,
+    "cursor_scroll_pages": fx_scroll_pages,
+    "cursor_sliced_scroll": fx_sliced_scroll,
+    "cursor_from_size": fx_from_size,
+    "suggest_phrase": fx_phrase_suggest,
     "suggest_term": fx_term_suggest,
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
@@ -292,6 +456,11 @@ MISC_QUERY_FNS = {
 MISC_ORACLE_SQL = {
     "ingest_pipeline": _INGEST_ORACLE,
     "update_old_new_source": _UPDATE_OLD_NEW_ORACLE,
+    "multi_index_search": _multi_index_oracle(),
+    "cursor_scroll_pages": _SCROLL_ORACLE,
+    "cursor_sliced_scroll": _SLICED_SCROLL_ORACLE,
+    "cursor_from_size": _from_size_oracle(),
+    "suggest_phrase": _PHRASE_SUGGEST_ORACLE,
     "suggest_term": _SUGGEST_ORACLE,
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,
