@@ -58,6 +58,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _spark(master: str, shuffle: int) -> SparkSession:
+    from elasticsearch_spark.session import _tune_worker_malloc
+
+    _tune_worker_malloc()  # see session.py: avoid mmap fault cost in workers
     return (
         SparkSession.builder.appName("es-spark-bench")
         .master(master)
@@ -70,6 +73,8 @@ def _spark(master: str, shuffle: int) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
         .getOrCreate()
     )
 
