@@ -109,7 +109,8 @@ R3_WINDOW = [
     "agg_sampler", "agg_significant_text",
     # -- round-3 additions: pytest-only surfaces promoted to driver fixtures
     "multi_index_search", "cursor_scroll_pages", "cursor_sliced_scroll",
-    "cursor_from_size", "suggest_phrase",
+    "cursor_from_size", "suggest_phrase", "rank_eval_match",
+    "search_span_near_multi", "indexed_span_near_multi",
 ]
 
 

@@ -142,8 +142,9 @@ SELECT rng, count(*) AS doc_count, round(avg(turn_idx), 4) AS avg_turn FROM (
   FROM transcripts) GROUP BY rng""",
     },
     # --- auto_date_histogram (AutoDateHistogramAggregationBuilder): interval
-    # picked from the fixed-seconds ladder to fit <= `buckets` buckets; oracle
-    # reproduces the selection with the same floor arithmetic in SQL.
+    # picked from the hybrid ladder (fixed sub-week rungs, calendar
+    # week/month/quarter/year rungs) to fit <= `buckets` buckets; oracle
+    # reproduces selection, per-rung rounding, and grid in SQL.
     "agg_auto_date_histogram": {
         "body": {"aggs": {"bkt": {"auto_date_histogram": {"field": "ts", "buckets": 10}}}},
         "oracle": None,  # generated below (ladder CASE)
@@ -528,26 +529,82 @@ def _mad_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _auto_dh_oracle(target: int = 10) -> str:
-    """Hand-derived oracle for auto_date_histogram: the interval ladder
-    selection re-expressed with the same floor arithmetic in DuckDB SQL."""
+    """Hand-derived oracle for auto_date_histogram: the hybrid ladder
+    (fixed sub-week rungs, calendar week/month/quarter/year rungs —
+    operators/aggs.AUTO_DH_LADDER) re-expressed in DuckDB SQL. Selection,
+    per-rung rounding, and the zero-fill grid all switch on the selected
+    rung; unselected grid arms get inverted bounds so generate_series is
+    empty (never materialized)."""
     from .operators.aggs import AUTO_DH_LADDER
 
+    def count_expr(rung) -> str:
+        kind, n = rung
+        if kind == "fixed":
+            return f"(hi // {n}) - (lo // {n}) + 1"
+        if kind == "week":
+            return (
+                "(cast(epoch(date_trunc('week', hits)) as bigint) - "
+                "cast(epoch(date_trunc('week', lots)) as bigint)) // 604800 + 1"
+            )
+        if kind == "month":
+            return (
+                f"((year(hits) * 12 + month(hits) - 1) // {n}) - "
+                f"((year(lots) * 12 + month(lots) - 1) // {n}) + 1"
+            )
+        return f"(year(hits) // {n}) - (year(lots) // {n}) + 1"
+
+    def tag(rung) -> str:
+        return f"{rung[0]}:{rung[1]}"
+
+    def round_expr(rung, ts: str) -> str:
+        kind, n = rung
+        if kind == "fixed":
+            return f"make_timestamp((cast(epoch({ts}) as bigint) // {n}) * {n} * 1000000)"
+        if kind == "week":
+            return f"date_trunc('week', {ts})"
+        if kind == "month":
+            return f"date_trunc('{'month' if n == 1 else 'quarter'}', {ts})"
+        if n == 1:
+            return f"date_trunc('year', {ts})"
+        return f"make_timestamp(cast((year({ts}) // {n}) * {n} as bigint), 1, 1, 0, 0, 0)"
+
     whens = " ".join(
-        f"WHEN (hi // {s}) - (lo // {s}) + 1 <= {target} THEN {s}"
-        for s in AUTO_DH_LADDER
+        f"WHEN {count_expr(r)} <= {target} THEN '{tag(r)}'" for r in AUTO_DH_LADDER
     )
+    key_case = "CASE (SELECT rung FROM sel) " + " ".join(
+        f"WHEN '{tag(r)}' THEN {round_expr(r, 'ts')}" for r in AUTO_DH_LADDER
+    ) + " END"
+    grid_arms = []
+    for r in AUTO_DH_LADDER:
+        kind, n = r
+        sel = f"(SELECT rung FROM sel) = '{tag(r)}'"
+        if kind == "fixed":
+            grid_arms.append(
+                f"SELECT make_timestamp(b * {n} * 1000000) AS bkt FROM (SELECT "
+                f"unnest(generate_series("
+                f"CASE WHEN {sel} THEN (SELECT lo FROM s) // {n} ELSE 1 END, "
+                f"CASE WHEN {sel} THEN (SELECT hi FROM s) // {n} ELSE 0 END)) AS b)"
+            )
+        else:
+            step = {"week": f"{7 * n} days", "month": f"{n} months", "year": f"{n} years"}[kind]
+            lo_k = round_expr(r, "(SELECT lots FROM s)")
+            hi_k = round_expr(r, "(SELECT hits FROM s)")
+            grid_arms.append(
+                f"SELECT unnest(generate_series("
+                f"CASE WHEN {sel} THEN {lo_k} ELSE timestamp '1970-01-02' END, "
+                f"CASE WHEN {sel} THEN {hi_k} ELSE timestamp '1970-01-01' END, "
+                f"interval {step})) AS bkt"
+            )
+    grid = "\nUNION ALL\n".join(grid_arms)
     return f"""{TRANSCRIPTS_CTE},
-s AS (SELECT cast(epoch(min(ts)) as bigint) AS lo,
+s AS (SELECT min(ts) AS lots, max(ts) AS hits,
+             cast(epoch(min(ts)) as bigint) AS lo,
              cast(epoch(max(ts)) as bigint) AS hi FROM transcripts),
-sel AS (SELECT (CASE {whens} ELSE {AUTO_DH_LADDER[-1]} END) AS secs, lo, hi FROM s),
-grid AS (SELECT make_timestamp(b * (SELECT secs FROM sel) * 1000000) AS bkt
-         FROM (SELECT unnest(generate_series(
-                   (SELECT lo // secs FROM sel),
-                   (SELECT hi // secs FROM sel))) AS b)),
+sel AS (SELECT (CASE {whens} ELSE '{tag(AUTO_DH_LADDER[-1])}' END) AS rung
+        FROM s),
+grid AS ({grid}),
 counted AS (
-  SELECT make_timestamp((cast(epoch(ts) as bigint) // (SELECT secs FROM sel))
-                        * (SELECT secs FROM sel) * 1000000) AS bkt,
-         count(*) AS doc_count
+  SELECT {key_case} AS bkt, count(*) AS doc_count
   FROM transcripts GROUP BY 1)
 SELECT g.bkt, coalesce(c.doc_count, 0) AS doc_count
 FROM grid g LEFT JOIN counted c USING (bkt) ORDER BY g.bkt"""

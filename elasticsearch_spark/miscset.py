@@ -149,6 +149,14 @@ PERCOLATE_QUERIES = {
     "q_match_and": {"match": {"text": {"query": "join table", "operator": "and"}}},
     "q_msm": {"match": {"text": {"query": "window agg stream", "minimum_should_match": 2}}},
     "q_term": {"term": {"text": "customer"}},
+    # residual-verified shapes (candidate terms prune, exact verify pass):
+    "q_phrase": {"match_phrase": {"text": "spark query"}},
+    "q_bool": {
+        "bool": {
+            "must": [{"match": {"text": {"query": "join table", "operator": "and"}}}],
+            "must_not": [{"term": {"text": "customer"}}],
+        }
+    },
 }
 
 
@@ -168,6 +176,18 @@ def _percolate_arm(qid: str, terms: list[str], need: int) -> str:
     )
 
 
+_PERCOLATE_PHRASE_ARM = (
+    "SELECT conv_id, turn_idx, 'q_phrase' AS query_id FROM transcripts "
+    f"WHERE turn_idx <= 1 AND len(list_filter(generate_series(1, len({_TOKS}) - 1), "
+    f"i -> ({_TOKS})[i] = 'spark' AND ({_TOKS})[i + 1] = 'query')) > 0"
+)
+_PERCOLATE_BOOL_ARM = (
+    "SELECT conv_id, turn_idx, 'q_bool' AS query_id FROM transcripts "
+    f"WHERE turn_idx <= 1 AND list_contains(list_distinct({_TOKS}), 'join') "
+    f"AND list_contains(list_distinct({_TOKS}), 'table') "
+    f"AND NOT list_contains(list_distinct({_TOKS}), 'customer')"
+)
+
 _PERCOLATE_ORACLE = (
     TRANSCRIPTS_CTE
     + "\nSELECT * FROM (\n"
@@ -177,6 +197,8 @@ _PERCOLATE_ORACLE = (
             _percolate_arm("q_match_and", ["join", "table"], 2),
             _percolate_arm("q_msm", ["window", "agg", "stream"], 2),
             _percolate_arm("q_term", ["customer"], 1),
+            _PERCOLATE_PHRASE_ARM,
+            _PERCOLATE_BOOL_ARM,
         ]
     )
     + "\n) ORDER BY conv_id, turn_idx, query_id"
@@ -398,6 +420,89 @@ SELECT string_agg(corrected, ' ' ORDER BY ord) AS suggestion,
 FROM tok"""
 
 
+# --- rank-eval (modules/rank-eval, RankEvalRequest -> per-metric response):
+# evaluate the match_or_topk run against deterministic graded judgments
+# (grade = it-mentions-spark + it-mentions-query, the same rule in both
+# engines), metrics over the top-10 ranked by (score_4dp desc, keys) — the
+# exact ranked-list evaluation ES performs coordinator-side on fetched hits.
+def fx_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import rank_eval as RE
+    from .plans import query_dsl as Q
+    from .queryset import SEARCH_QUERIES
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    grade = (
+        F.array_contains(analysis.tokens("text"), "spark").cast("int")
+        + F.array_contains(analysis.tokens("text"), "query").cast("int")
+    ).alias("g")
+    hits = Q.search(docs, SEARCH_QUERIES["match_or_topk"], ["conv_id", "turn_idx"], k=10).collect()
+    ranked = [
+        (r.conv_id, r.turn_idx)
+        for r in sorted(hits, key=lambda r: (-r.score, r.conv_id, r.turn_idx))
+    ]
+    gd = docs.select("conv_id", "turn_idx", grade)
+    n_rel = gd.where(F.col("g") > 0).count()
+    ideal = [r.g for r in gd.orderBy(F.col("g").desc()).limit(10).collect()]
+    keys_df = spark.createDataFrame(ranked, "conv_id string, turn_idx int")
+    hit_grades = {
+        (r.conv_id, r.turn_idx): r.g
+        for r in gd.join(F.broadcast(keys_df), ["conv_id", "turn_idx"]).collect()
+    }
+    relevant = {k for k, g in hit_grades.items() if g > 0}
+    # recall denominator is corpus-wide relevant count, not just fetched
+    import math
+
+    dcg = RE.dcg_at_k(ranked, hit_grades, 10)
+    idcg = sum((2**g - 1) / math.log2(i + 1) for i, g in enumerate(ideal, start=1))
+    row = (
+        round(RE.precision_at_k(ranked, relevant, 10), 4),
+        round((sum(1 for d in ranked[:10] if d in relevant) / n_rel) if n_rel else 0.0, 4),
+        round(RE.mrr(ranked, relevant), 4),
+        round(dcg, 4),
+        round(dcg / idcg if idcg else 0.0, 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "precision_10 double, recall_10 double, mrr double, dcg_10 double, ndcg_10 double",
+    )
+
+
+def _rank_eval_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+
+    inner = oracle.search_sql(SEARCH_QUERIES["match_or_topk"], 10)
+    return f"""WITH hits AS (
+  SELECT conv_id, turn_idx, score,
+         row_number() OVER (ORDER BY score DESC, conv_id, turn_idx) AS rnk
+  FROM ({inner})
+),
+grades AS ({oracle.TRANSCRIPTS_CTE}
+  SELECT conv_id, turn_idx,
+         (list_contains({_TOKS}, 'spark')::int
+          + list_contains({_TOKS}, 'query')::int) AS g
+  FROM transcripts
+),
+hg AS (SELECT h.rnk, coalesce(g.g, 0) AS g FROM hits h
+       JOIN grades g USING (conv_id, turn_idx)),
+ideal AS (SELECT row_number() OVER (ORDER BY g DESC) AS rnk, g
+          FROM (SELECT g FROM grades ORDER BY g DESC LIMIT 10)),
+m AS (
+  SELECT
+    sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) / 10.0 AS p10,
+    sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+      / greatest((SELECT count(*) FROM grades WHERE g > 0), 1) AS r10,
+    coalesce(1.0 / min(CASE WHEN g > 0 THEN rnk END), 0.0) AS mrr,
+    sum((pow(2, g) - 1) / log2(rnk + 1)) AS dcg
+  FROM hg
+)
+SELECT round(p10, 4) AS precision_10, round(r10, 4) AS recall_10,
+       round(mrr, 4) AS mrr, round(dcg, 4) AS dcg_10,
+       round(dcg / (SELECT sum((pow(2, g) - 1) / log2(rnk + 1)) FROM ideal), 4)
+         AS ndcg_10
+FROM m"""
+
+
 def fx_update_old_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fork's signature feature (req_old_source/req_new_source,
     UpdateResponse.java:97-110, FetchSourceContext.java:124-186): an
@@ -443,6 +548,7 @@ MISC_QUERY_FNS = {
     "cursor_sliced_scroll": fx_sliced_scroll,
     "cursor_from_size": fx_from_size,
     "suggest_phrase": fx_phrase_suggest,
+    "rank_eval_match": fx_rank_eval,
     "suggest_term": fx_term_suggest,
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
@@ -461,6 +567,7 @@ MISC_ORACLE_SQL = {
     "cursor_sliced_scroll": _SLICED_SCROLL_ORACLE,
     "cursor_from_size": _from_size_oracle(),
     "suggest_phrase": _PHRASE_SUGGEST_ORACLE,
+    "rank_eval_match": _rank_eval_oracle(),
     "suggest_term": _SUGGEST_ORACLE,
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,

@@ -44,15 +44,61 @@ BUCKET_KINDS = {
     "significant_terms",
 }
 
-# auto_date_histogram interval ladder, in seconds (AutoDateHistogram's
-# second/minute/hour/day/week/month/year roundings approximated as fixed
-# epoch-second intervals — documented divergence: ES rounds on calendar
-# boundaries, we round on epoch multiples so the oracle can mirror exactly).
+# auto_date_histogram interval ladder (AutoDateHistogramAggregationBuilder's
+# rounding ladder): sub-week rungs are fixed epoch-second intervals (their
+# calendar and epoch roundings coincide in UTC), week-and-coarser rungs are
+# CALENDAR rungs — weeks start Monday, months/quarters/years on their first
+# day, multi-year rungs on year//k*k — matching ES's Rounding calendar
+# behavior (months of different lengths land on the 1st, not epoch
+# multiples of 30 days). Each entry is ("fixed", seconds) or
+# ("week"|"month"|"year", n).
 AUTO_DH_LADDER = [
-    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
-    86400, 604800, 2592000, 7776000, 31536000,
-    5 * 31536000, 10 * 31536000, 20 * 31536000, 50 * 31536000, 100 * 31536000,
+    ("fixed", s)
+    for s in (1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200, 86400)
+] + [
+    ("week", 1), ("month", 1), ("month", 3),
+    ("year", 1), ("year", 5), ("year", 10), ("year", 20),
+    ("year", 50), ("year", 100),
 ]
+
+
+def _auto_dh_bucket_count(rung, lo: int, hi: int) -> int:
+    """Buckets the rung yields over [lo, hi] epoch seconds (UTC calendar)."""
+    import datetime as _dt
+
+    kind, n = rung
+    if kind == "fixed":
+        return hi // n - lo // n + 1
+    dlo = _dt.datetime.fromtimestamp(lo, _dt.timezone.utc)
+    dhi = _dt.datetime.fromtimestamp(hi, _dt.timezone.utc)
+    if kind == "week":
+        # Monday-aligned: ordinal day // 7 with Monday(ordinal 1) as week 0
+        return (dhi.toordinal() - 1) // 7 - (dlo.toordinal() - 1) // 7 + 1
+    if kind == "month":
+        mlo = (dlo.year * 12 + dlo.month - 1) // n
+        mhi = (dhi.year * 12 + dhi.month - 1) // n
+        return mhi - mlo + 1
+    return dhi.year // n - dlo.year // n + 1
+
+
+def _auto_dh_key_col(rung, c_ts):
+    """Bucket-key Column for the rung over a timestamp column (UTC session)."""
+    kind, n = rung
+    if kind == "fixed":
+        sec = F.unix_timestamp(c_ts)
+        return F.timestamp_seconds(F.floor(sec / n).cast("long") * n)
+    if kind == "week":
+        return F.date_trunc("week", c_ts)
+    if kind == "month":
+        return F.date_trunc("month" if n == 1 else "quarter", c_ts)
+    if n == 1:
+        return F.date_trunc("year", c_ts)
+    return F.to_timestamp(
+        F.concat(
+            (F.floor(F.year(c_ts) / n).cast("long") * n).cast("string"),
+            F.lit("-01-01"),
+        )
+    )
 
 
 def ip_to_long(ip: str) -> int:
@@ -345,23 +391,43 @@ def _bucket(docs: DataFrame, bname: str, b: dict, kind: str, sub_metrics):
         # date_histogram min_doc_count=0. Interval choice needs the global
         # min/max — a 1-row agg, the shard-reduce ES also performs.
         target = int(b.get("buckets", 10))
-        c = F.unix_timestamp(F.col(b["field"]).cast("timestamp"))
+        c_ts = F.col(b["field"]).cast("timestamp")
+        c = F.unix_timestamp(c_ts)
         lohi = docs.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
         if lohi.lo is None:
-            secs = AUTO_DH_LADDER[0]
+            rung = AUTO_DH_LADDER[0]
         else:
-            secs = AUTO_DH_LADDER[-1]
-            for s in AUTO_DH_LADDER:
-                if lohi.hi // s - lohi.lo // s + 1 <= target:
-                    secs = s
+            rung = AUTO_DH_LADDER[-1]
+            for r in AUTO_DH_LADDER:
+                if _auto_dh_bucket_count(r, lohi.lo, lohi.hi) <= target:
+                    rung = r
                     break
-        key = F.timestamp_seconds(F.floor(c / secs).cast("long") * secs).alias(bname)
+        key = _auto_dh_key_col(rung, c_ts).alias(bname)
         grouped = docs.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
         if lohi.lo is not None:
-            lo_i, hi_i = lohi.lo // secs, lohi.hi // secs
-            full = docs.sparkSession.range(lo_i, hi_i + 1).select(
-                F.timestamp_seconds(F.col("id") * secs).alias(bname)
-            )
+            # zero-fill grid on the rung's own boundaries (calendar steps for
+            # calendar rungs — a month grid steps month-starts, not 30 days)
+            kind, n = rung
+            if kind == "fixed":
+                lo_i, hi_i = lohi.lo // n, lohi.hi // n
+                full = docs.sparkSession.range(lo_i, hi_i + 1).select(
+                    F.timestamp_seconds(F.col("id") * n).alias(bname)
+                )
+            else:
+                step = {"week": f"{7 * n} days", "month": f"{n} months",
+                        "year": f"{n} years"}[kind]
+                bounds = docs.agg(
+                    F.min(_auto_dh_key_col(rung, c_ts)).alias("lo"),
+                    F.max(_auto_dh_key_col(rung, c_ts)).alias("hi"),
+                ).first()
+                full = docs.sparkSession.range(1).select(
+                    F.explode(
+                        F.expr(
+                            f"sequence(timestamp'{bounds.lo}', "
+                            f"timestamp'{bounds.hi}', interval {step})"
+                        )
+                    ).alias(bname)
+                )
             grouped = full.join(grouped, bname, "left").na.fill({"doc_count": 0})
         return grouped.orderBy(bname), [bname], [bname]
 

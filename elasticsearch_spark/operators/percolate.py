@@ -13,8 +13,15 @@ query side is broadcast when small (the common case: queries are curated).
 
 Supported stored-query shapes (the percolator's core use): match with
 operator or/and and minimum_should_match, and term/terms on the analyzed
-field. Phrase / keyword-field / compound shapes would add a residual verify
-pass over candidates (same two-phase design as ES) — out of scope, raises.
+field — answered by the term join alone — plus match_phrase and bool
+compounds via the SAME two-phase design ES uses (PercolateQuery's
+candidate-then-verify, QueryAnalyzer.java extraction): the term join
+produces candidates from the query's positive terms, then a residual verify
+pass re-evaluates the exact query (positions, must_not, msm) with the
+logical query compiler over ONLY the candidate docs. Keyword-field-only or
+pure-negative stored queries have no extractable terms and raise (ES marks
+those verified-by-MemoryIndex for every doc — a per-doc scan by design we
+refuse instead).
 """
 
 from __future__ import annotations
@@ -43,8 +50,13 @@ def _msm(raw, n_terms: int) -> int:
         ) from None
 
 
-def _query_terms(query: dict) -> tuple[list[str], int]:
-    """(terms, needed distinct matches) for one stored query dict."""
+def _query_terms(query: dict) -> tuple[list[str], int, bool]:
+    """(terms, needed distinct matches, residual) for one stored query.
+
+    `residual`=False: candidate == match (the term-count test IS the query).
+    `residual`=True: the terms only PRUNE (sound: every match contains >=
+    `need` of them); an exact verify pass must confirm candidates
+    (QueryAnalyzer.java extraction + PercolateQuery verified-matches)."""
     (kind, body), = query.items()
     if kind == "match":
         (field, spec), = body.items()
@@ -55,13 +67,41 @@ def _query_terms(query: dict) -> tuple[list[str], int]:
         terms = list(dict.fromkeys(analysis.analyze(spec["query"])))
         op = spec.get("operator", "or").lower()
         need = len(terms) if op == "and" else _msm(spec.get("minimum_should_match"), len(terms))
-        return terms, need
+        return terms, need, False
     if kind in ("term", "terms"):
         (field, v), = body.items()
         if field != "text":
             raise ValueError("percolate supports the analyzed `text` field")
         vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
-        return [str(x).lower() for x in vals], 1
+        return [str(x).lower() for x in vals], 1, False
+    if kind == "match_phrase":
+        (field, spec), = body.items()
+        if field != "text":
+            raise ValueError("percolate supports the analyzed `text` field")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        terms = list(dict.fromkeys(analysis.analyze(text)))
+        # all distinct phrase terms are required; positions verify residually
+        return terms, len(terms), True
+    if kind == "bool":
+        # sound pruning: any positive-context leaf term is required for a
+        # match (must/filter => all, should contributes when msm forces it);
+        # need=1 keeps extraction simple — the verify pass is exact anyway
+        terms: list[str] = []
+        for clause in ("must", "filter", "should"):
+            items = body.get(clause) or []
+            for sub in items if isinstance(items, list) else [items]:
+                try:
+                    ts, _, _ = _query_terms(sub)
+                except ValueError:
+                    continue  # un-extractable child: other clauses may prune
+                terms += ts
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            raise ValueError(
+                "percolate bool query has no extractable positive terms "
+                "(pure-negative / keyword-only stored queries are unsupported)"
+            )
+        return terms, 1, True
     raise ValueError(f"percolate cannot index stored query kind: {kind}")
 
 
@@ -75,21 +115,69 @@ def percolate(
     key_cols = key_cols or ["conv_id", "turn_idx"]
     spark = docs.sparkSession
     rows = []
+    residual_ids = []
     for qid in sorted(stored_queries):
-        terms, need = _query_terms(stored_queries[qid])
+        terms, need, residual = _query_terms(stored_queries[qid])
         if not terms:
             continue  # zero-term query matches nothing (zero_terms NONE)
+        if residual:
+            residual_ids.append(qid)
         rows += [(qid, t, need) for t in terms]
     qterms = spark.createDataFrame(rows, "query_id string, term string, need int")
     doc_terms = docs.select(
         *key_cols,
         F.explode(F.array_distinct(analysis.tokens(text_col))).alias("term"),
     )
-    return (
+    cand = (
         doc_terms.join(F.broadcast(qterms), "term")
         .groupBy(*key_cols, "query_id")
         .agg(F.count(F.lit(1)).alias("_m"), F.max("need").alias("_need"))
         .where(F.col("_m") >= F.col("_need"))
         .select(*key_cols, "query_id")
-        .orderBy(*key_cols, "query_id")
     )
+    if residual_ids:
+        # verify pass (PercolateQuery's verified matches): re-evaluate each
+        # residual query exactly, over ONLY its candidate docs (semi-join
+        # pruning — the verify subplan never scans the full doc stream).
+        # term/terms on the ANALYZED field rewrite to single-token matches
+        # first: a term query against a text field matches the indexed
+        # TOKENS (TermQueryBuilder over TextFieldMapper), which is the
+        # percolator semantics the candidate join already implements —
+        # query_dsl's term leaf would compare the whole raw value instead.
+        from ..plans import query_dsl as Q
+
+        def tokenized_terms(q):
+            if not (isinstance(q, dict) and len(q) == 1):
+                return q
+            (k, b), = q.items()
+            if k in ("term", "terms") and isinstance(b, dict) and len(b) == 1:
+                (f, v), = b.items()
+                if f == text_col:
+                    vals = list(v) if k == "terms" else [v["value"] if isinstance(v, dict) else v]
+                    return {"match": {f: " ".join(str(x).lower() for x in vals)}}
+            if k == "bool":
+                return {
+                    "bool": {
+                        cl: [tokenized_terms(s) for s in (items if isinstance(items, list) else [items])]
+                        for cl, items in b.items()
+                        if items is not None
+                    }
+                }
+            return q
+
+        direct = cand.where(~F.col("query_id").isin(residual_ids))
+        parts = [direct]
+        for qid in residual_ids:
+            sub = docs.join(
+                cand.where(F.col("query_id") == qid).select(*key_cols),
+                key_cols,
+                "left_semi",
+            )
+            hit = Q.compile_query(tokenized_terms(stored_queries[qid]), sub, key_cols, text_col)
+            parts.append(
+                hit.select(*key_cols).withColumn("query_id", F.lit(qid))
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+    return cand.orderBy(*key_cols, "query_id")

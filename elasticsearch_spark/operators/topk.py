@@ -684,7 +684,26 @@ class _Lowerer:
             if field_ not in INDEXED_FIELDS:
                 raise ValueError(f"intervals on non-indexed field {field_}")
             src = spec["match"]
-            qterms = analysis.analyze(src["query"])
+            steps = src.get("steps")
+            if steps:
+                # per-position term specs (span_multi nested in span_near):
+                # a {"prefix": v} step expands against the term dictionary —
+                # the chain position accepts ANY expanded term (tuple step)
+                qterms = []
+                for st in steps:
+                    if isinstance(st, str):
+                        qterms.append(st)
+                        continue
+                    if set(st) != {"prefix"}:
+                        raise ValueError(f"unsupported intervals step: {st}")
+                    exps = expand_terms(
+                        self.spark, self.store, self.snap, field_, "prefix", st["prefix"]
+                    )
+                    if not exps:
+                        return TermsLeaf(field=field_, terms=[], need=1)
+                    qterms.append(tuple(exps))
+            else:
+                qterms = analysis.analyze(src["query"])
             ordered = bool(src.get("ordered", False))
             not_q = src.get("not_query")
             not_terms = analysis.analyze(not_q) if not_q else None
@@ -768,7 +787,12 @@ def _collect_ft(node, out: set, phrases: set):
     if isinstance(node, TermsLeaf):
         out.update((node.field, t) for t in node.terms)
     elif isinstance(node, IntervalsLeaf):
-        fts = {(node.field, t) for t in node.terms}
+        # a step is a term, or a tuple of expanded terms (span_multi step)
+        fts = {
+            (node.field, t)
+            for st in node.terms
+            for t in (st if isinstance(st, tuple) else (st,))
+        }
         fts |= {(node.field, t) for t in (node.not_terms or [])}
         fts |= {(node.field, t) for t in (node.within_terms or [])}
         out.update(fts)
@@ -928,9 +952,14 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 ub = node.weight * kp1 * m / (m + k1 * (1.0 - b + b * mindlq / ad))
                 return True, float(ub)
             if isinstance(node, IntervalsLeaf):
-                # every interval term must sit in the doc => in the doc's block
+                # every interval step must sit in the doc => in the doc's
+                # block; a tuple step (span_multi expansion) needs ANY member
                 # (within-chain terms are required too; not_terms are not)
-                for t in set(node.terms) | set(node.within_terms or []):
+                for st in node.terms:
+                    opts = st if isinstance(st, tuple) else (st,)
+                    if not any((node.field, t) in pres for t in opts):
+                        return False, 0.0
+                for t in node.within_terms or []:
                     if (node.field, t) not in pres:
                         return False, 0.0
                 return True, 1.0
@@ -1097,6 +1126,18 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 # ordinal occupies the high bits: a searchsorted neighbor from
                 # another doc fails the high-bits equality check
                 def keys_of(t):
+                    if isinstance(t, tuple):
+                        # span_multi step: any expanded term fills the
+                        # position — union of the members' occurrence keys
+                        parts = [
+                            env[(node.field, x)][3]
+                            for x in t
+                            if env.get((node.field, x)) is not None
+                        ]
+                        parts = [p for p in parts if len(p)]
+                        if not parts:
+                            return None
+                        return np.unique(np.concatenate(parts))
                     e = env.get((node.field, t))
                     return None if e is None else e[3]
 

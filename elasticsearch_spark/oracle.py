@@ -221,7 +221,9 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
 
     (field, spec), = body.items()
     src = spec["match"]
-    qterms = analyze(src["query"])
+    # steps: per-position specs (str, or {"prefix": v} from span_multi
+    # nested in span_near) — twin of query_dsl._intervals
+    qterms = src.get("steps") or analyze(src["query"])
     max_gaps = int(src.get("max_gaps", -1))
     ordered = bool(src.get("ordered", False))
     first_end = src.get("first_end")
@@ -241,11 +243,16 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             raise ValueError("not_query (span_not) needs ordered or single-term")
     t = _toks(field)
 
-    def pos(term: str) -> str:
-        # 0-based positions (1-based index i over the token list)
+    def pos(term) -> str:
+        # 0-based positions (1-based index i over the token list); a
+        # {"prefix": v} step accepts any token with the prefix
+        if isinstance(term, dict):
+            cond = f"starts_with(toks[i], {_sql_str(term['prefix'])})"
+        else:
+            cond = f"toks[i] = {_sql_str(term)}"
         return (
             f"list_transform(list_filter(range(1, len(toks) + 1), "
-            f"i -> toks[i] = {_sql_str(term)}), i -> i - 1)"
+            f"i -> {cond}), i -> i - 1)"
         )
 
     def ex_pos() -> str:

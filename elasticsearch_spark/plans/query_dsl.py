@@ -163,26 +163,39 @@ def _rewrite_span(kind: str, body: dict) -> dict:
         f, ts = _span_terms({kind: body})
         return {"match": {f: {"query": " ".join(ts)}}}
     if kind == "span_near":
-        fields, terms = set(), []
+        # clauses: span_term, or span_multi wrapping prefix (SpanMultiTerm-
+        # QueryBuilder reg :808 nested in SpanNear — one chain position
+        # accepts ANY term matching the multi-term query; carried as a
+        # {"prefix": v} step through the intervals machinery)
+        fields, steps = set(), []
+        any_multi = False
         for c in body["clauses"]:
+            (ck, cb), = c.items()
+            if ck == "span_multi":
+                (mk, mb), = cb["match"].items()
+                if mk != "prefix":
+                    raise ValueError("span_multi in span_near supports prefix")
+                (f, v), = mb.items()
+                v = v["value"] if isinstance(v, dict) else v
+                fields.add(f)
+                steps.append({"prefix": str(v).lower()})
+                any_multi = True
+                continue
             f, ts = _span_terms(c)
             if len(ts) != 1:
-                raise ValueError("span_near supports span_term clauses")
+                raise ValueError("span_near supports span_term/span_multi clauses")
             fields.add(f)
-            terms += ts
+            steps.append(ts[0])
         if len(fields) != 1:
             raise ValueError("span_near clauses must share one field")
-        return {
-            "intervals": {
-                fields.pop(): {
-                    "match": {
-                        "query": " ".join(terms),
-                        "ordered": bool(body.get("in_order", True)),
-                        "max_gaps": int(body.get("slop", 0)),
-                    }
-                }
-            }
+        src = {
+            "query": " ".join(t if isinstance(t, str) else t["prefix"] + "*" for t in steps),
+            "ordered": bool(body.get("in_order", True)),
+            "max_gaps": int(body.get("slop", 0)),
         }
+        if any_multi:
+            src["steps"] = steps
+        return {"intervals": {fields.pop(): {"match": src}}}
     if kind == "span_first":
         f, ts = _span_terms(body["match"])
         if len(ts) != 1:
@@ -529,7 +542,9 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     """
     (field, spec), = body.items()
     src = spec["match"]
-    qterms = analysis.analyze(src["query"])
+    # steps: per-position term specs (str, or {"prefix": v} from span_multi
+    # nested in span_near — ANY token with the prefix fills that position)
+    qterms = src.get("steps") or analysis.analyze(src["query"])
     if not qterms:
         return Compiled(predicate=F.lit(False))
     max_gaps = int(src.get("max_gaps", -1))
@@ -552,11 +567,15 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
     toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
 
-    def positions(t: str):
-        # 0-based token positions of term t
+    def positions(t):
+        # 0-based token positions of term t (or of any prefix-matching token)
+        if isinstance(t, dict):
+            tok_ok = lambda tok: tok.startswith(t["prefix"])  # noqa: E731
+        else:
+            tok_ok = lambda tok: tok == F.lit(t)  # noqa: E731
         return F.filter(
             F.sequence(F.lit(0), F.size("toks") - 1),
-            lambda i: F.element_at("toks", (i + 1).cast("int")) == F.lit(t),
+            lambda i: tok_ok(F.element_at("toks", (i + 1).cast("int"))),
         )
 
     def ex_positions():

@@ -183,6 +183,18 @@ SPAN_QUERIES: dict[str, dict] = {
     "span_multi_prefix": {
         "span_multi": {"match": {"prefix": {"text": "qu"}}}
     },
+    # span_multi NESTED in span_near: the second chain position accepts any
+    # term with the prefix (SpanMultiTermQueryBuilder inside SpanNear)
+    "span_near_multi": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "join"}},
+                {"span_multi": {"match": {"prefix": {"text": "ta"}}}},
+            ],
+            "slop": 3,
+            "in_order": True,
+        }
+    },
     "span_within_near": {
         "span_within": {
             "little": {"span_term": {"text": "hash"}},

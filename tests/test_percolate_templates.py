@@ -57,7 +57,44 @@ class TestPercolate:
             [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
         )
         with pytest.raises(ValueError, match="cannot index"):
-            P.percolate(docs, {"q": {"match_phrase": {"text": "a b"}}})
+            P.percolate(docs, {"q": {"prefix": {"text": "ab"}}})
+        # pure-negative bool: no extractable positive terms
+        with pytest.raises(ValueError, match="no extractable"):
+            P.percolate(docs, {"q": {"bool": {"must_not": [{"term": {"text": "x"}}]}}})
+
+    def test_phrase_residual_verify(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", 0, "merge sort is fast"),      # adjacent, in order
+                ("c2", 0, "sort merge join"),          # both terms, wrong order
+                ("c3", 0, "merge the sort"),           # both terms, not adjacent
+                ("c4", 0, "nothing here"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {"q": {"match_phrase": {"text": "merge sort"}}}
+        got = {r.conv_id for r in P.percolate(docs, stored).collect()}
+        assert got == {"c1"}
+
+    def test_bool_residual_verify(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", 0, "join the table now"),       # must ok, no customer
+                ("c2", 0, "join table customer"),      # excluded by must_not
+                ("c3", 0, "join only"),                # must fails
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {
+            "q": {
+                "bool": {
+                    "must": [{"match": {"text": {"query": "join table", "operator": "and"}}}],
+                    "must_not": [{"term": {"text": "customer"}}],
+                }
+            }
+        }
+        got = {r.conv_id for r in P.percolate(docs, stored).collect()}
+        assert got == {"c1"}
 
 
 class TestTemplates:
