@@ -24,6 +24,7 @@ from elasticsearch_spark.queryset import (  # noqa: E402
     COLLAPSE_FIXTURE,
     DEFAULT_K,
     INTERVALS_QUERIES,
+    JOIN_QUERIES,
     RESCORE_FIXTURE,
     SEARCH_AFTER_FIXTURE,
     SEARCH_QUERIES,
@@ -111,6 +112,12 @@ R3_WINDOW = [
     "multi_index_search", "cursor_scroll_pages", "cursor_sliced_scroll",
     "cursor_from_size", "suggest_phrase", "rank_eval_match",
     "search_span_near_multi", "indexed_span_near_multi",
+    # -- parent-join family (modules/parent-join), new round 3: logical path
+    "search_has_child_sum", "search_has_child_min_max",
+    "search_has_parent_score", "search_parent_id_children",
+    # -- Painless expression subset (slot 50); its function_score twin and
+    # the indexed_ twins register after the window for the round-4 budget
+    "search_script_query_topk",
 ]
 
 
@@ -125,6 +132,8 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, qd in SPAN_QUERIES.items():
         out[f"search_{name}"] = _search_fn(qd)
         out[f"indexed_{name}"] = _indexed_fn(qd)
+    for name, qd in JOIN_QUERIES.items():
+        out[f"search_{name}"] = _search_fn(qd)
     out.update(pipeset.pipe_query_fns())
 
     def _search_after(spark, sf_dir):
@@ -197,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
     for name, qd in SPAN_QUERIES.items():
         out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
         out[f"indexed_{name}"] = oracle.search_sql(qd, DEFAULT_K)
+    for name, qd in JOIN_QUERIES.items():
+        out[f"search_{name}"] = oracle.search_sql(qd, DEFAULT_K)
     for name in INDEXED_QUERY_NAMES:
         out[f"indexed_{name}"] = oracle.search_sql(SEARCH_QUERIES[name], DEFAULT_K)
     out.update(aggset.agg_oracle_sql())

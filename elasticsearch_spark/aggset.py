@@ -751,6 +751,38 @@ def _sig_text_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(aggs.significant_text(fg, docs, size=10, min_doc_count=3))
 
 
+# --- percentile_ranks (PercentileRanksAggregationBuilder reg :384): exact
+# CDF — percent of values <= v (documented exact-vs-TDigest divergence,
+# same stance as percentiles)
+AGG_QUERIES["agg_percentile_ranks"] = {
+    "body": {
+        "aggs": {"pr": {"percentile_ranks": {"field": "turn_idx", "values": [5, 12]}}}
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT round(100.0 * avg(case when turn_idx <= 5 then 1.0 else 0.0 end), 4) AS pr_rank_5,
+       round(100.0 * avg(case when turn_idx <= 12 then 1.0 else 0.0 end), 4) AS pr_rank_12
+FROM transcripts""",
+}
+
+# --- global (GlobalAggregationBuilder reg :393): bucket over ALL docs,
+# ignoring the request query — here the query filters to role='user' but the
+# global bucket still aggregates the whole corpus
+AGG_QUERIES["agg_global"] = {
+    "body": {
+        "query": {"term": {"role": "user"}},
+        "aggs": {
+            "all": {
+                "global": {},
+                "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}},
+            }
+        },
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE}
+SELECT count(*) AS all_doc_count, round(avg(turn_idx), 4) AS avg_turn
+FROM transcripts""",
+}
+
+
 def agg_query_fns() -> dict:
     out = {}
     for name, spec in AGG_QUERIES.items():

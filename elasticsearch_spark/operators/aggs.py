@@ -42,6 +42,7 @@ BUCKET_KINDS = {
     "missing",
     "composite",
     "significant_terms",
+    "global",
 }
 
 # auto_date_histogram interval ladder (AutoDateHistogramAggregationBuilder's
@@ -142,6 +143,7 @@ PIPELINE_KINDS = {
 
 def aggregate(docs: DataFrame, body: dict) -> DataFrame:
     """Run an ES-style {"query": ..., "aggs": {...}} body over a docs DF."""
+    docs_unfiltered = docs  # for the `global` bucket (ignores the query)
     if body.get("query"):
         from ..plans import query_dsl as Q
 
@@ -185,6 +187,14 @@ def aggregate(docs: DataFrame, body: dict) -> DataFrame:
 
     (bname, bspec), = bucket
     kind = _kind(bspec)
+    if kind == "global":
+        # GlobalAggregationBuilder (reg SearchModule.java:393): one bucket
+        # over ALL docs, ignoring the request query — sub-aggs computed on
+        # the unfiltered table
+        cols = [F.count(F.lit(1)).alias(f"{bname}_doc_count")]
+        for n, s in bspec.get("aggs", {}).items():
+            cols.extend(_metric_cols(docs_unfiltered, n, s))
+        return docs_unfiltered.agg(*cols)
     sub = bspec.get("aggs", {})
     sub_metrics = [(n, s) for n, s in sub.items() if _kind(s) not in PIPELINE_KINDS]
     sub_pipeline = [(n, s) for n, s in sub.items() if _kind(s) in PIPELINE_KINDS] + pipeline
@@ -255,6 +265,16 @@ def _metric_cols(docs: DataFrame, name: str, spec: dict) -> list[Column]:
         v = F.expr(b["value"]["field"])
         w = F.expr(b["weight"]["field"])
         return [(F.sum(v * w) / F.sum(w)).alias(name)]
+    if kind == "percentile_ranks":
+        # PercentileRanksAggregationBuilder (reg SearchModule.java:384): for
+        # each value v, the percent of observed values <= v. Exact CDF —
+        # same exact-vs-TDigest stance as percentiles below.
+        return [
+            (F.avg(F.when(c <= F.lit(float(v)), 1.0).otherwise(0.0)) * 100).alias(
+                f"{name}_rank_{_pname(v)}"
+            )
+            for v in b["values"]
+        ]
     if kind == "percentiles":
         pcts = b.get("percents", [1, 5, 25, 50, 75, 95, 99])
         method = b.get("method", "exact")

@@ -355,6 +355,13 @@ class _Lowerer:
             return "true"
         if lk == "match_none":
             return "false"
+        if lk == "script":
+            # ScriptQueryBuilder: Painless-subset -> SQL predicate over the
+            # docs columns (functions/painless.py) — same doc-values shape
+            # as term/range, evaluated on the pruned docs scan
+            from ..functions import painless
+
+            return f"({painless.script_sql(lb['script'])})"
         raise ValueError(f"indexed path cannot lower predicate: {lk}")
 
     def keyword_postings_leaf(self, field_: str, values: list[str]):
@@ -564,8 +571,11 @@ class _Lowerer:
                     raise ValueError(f"modifier {mod} unsupported")
                 val = f"({v}) * cast({float(fn.get('weight', 1.0))!r} as double)"
             elif "script_score" in fn:
+                from ..functions import painless
+
+                _ss = painless.script_sql(fn["script_score"]["script"])
                 val = (
-                    f"(cast(({fn['script_score']['script']}) as double)) * "
+                    f"(cast(({_ss}) as double)) * "
                     f"cast({float(fn.get('weight', 1.0))!r} as double)"
                 )
             else:
@@ -666,6 +676,35 @@ class _Lowerer:
                 f"abs(cast({f_} as double) - cast({float(origin)!r} as double))) end"
             )
             fid = self.chan(sql, "value", ub=boost)
+            return ChannelLeaf(fid, const=None)
+        if kind == "rank_feature":
+            # mapper-extras RankFeatureQueryBuilder.java:47-294 — docs-only
+            # value channel like distance_feature; saturation/sigmoid are
+            # bounded by boost (WAND ub), log is unbounded (ub=inf)
+            f_ = body["field"]
+            boost = float(body.get("boost", 1.0))
+            vv = f"cast({f_} as double)"
+            specs = {k: body[k] for k in ("saturation", "log", "sigmoid") if k in body}
+            if len(specs) != 1:
+                raise ValueError("rank_feature needs exactly one of saturation/log/sigmoid")
+            (fn_, spec), = specs.items()
+            if fn_ == "saturation":
+                if "pivot" not in spec:
+                    raise ValueError("rank_feature saturation requires an explicit pivot")
+                e = f"{vv} / ({vv} + {float(spec['pivot'])!r})"
+                ub = boost
+            elif fn_ == "log":
+                e = f"ln({float(spec['scaling_factor'])!r} + {vv})"
+                ub = float("inf")
+            else:
+                p, x = float(spec["pivot"]), float(spec["exponent"])
+                e = f"power({vv}, {x!r}) / (power({vv}, {x!r}) + {p ** x!r})"
+                ub = boost
+            sql = (
+                f"case when {f_} is not null and {vv} > 0 "
+                f"then cast({boost!r} as double) * ({e}) end"
+            )
+            fid = self.chan(sql, "value", ub=ub)
             return ChannelLeaf(fid, const=None)
         if kind == "terms_set":
             (col, spec), = body.items()

@@ -14,7 +14,7 @@ in sources/transcripts.py, identical in both dialects.
 
 from __future__ import annotations
 
-from .functions import analysis, scoring
+from .functions import analysis, painless, scoring
 from .functions.analysis import analyze
 from .sources.transcripts import transcripts_view_sql
 
@@ -370,10 +370,20 @@ def _pred_sql(kind: str, body: dict) -> str:
         return "TRUE"
     if kind == "match_none":
         return "FALSE"
+    if kind == "parent_id":
+        # children of the given parent (ParentIdQueryBuilder.java:135-142);
+        # parent = conversation opener, routing key = conv_id
+        return f"conv_id = {_sql_str(body['id'])} AND turn_idx > 0"
+    if kind == "script":
+        # ScriptQueryBuilder: same Painless-subset translation as the engine
+        return f"({painless.script_sql(body['script'])})"
     raise ValueError(f"not predicate-expressible: {kind}")
 
 
-_PRED_KINDS = {"term", "terms", "range", "exists", "ids", "match_all", "match_none"}
+_PRED_KINDS = {
+    "term", "terms", "range", "exists", "ids", "match_all", "match_none",
+    "parent_id", "script",
+}
 
 
 def _keyword_idf_sql(kind: str, body: dict, alias: str) -> tuple[str, str]:
@@ -522,6 +532,73 @@ class _SqlGen:
             return self._function_score(body, a)
         if kind == "more_like_this":
             return self._more_like_this(body, a)
+        if kind == "rank_feature":
+            # twin of plans/query_dsl._rank_feature (mapper-extras
+            # RankFeatureQueryBuilder.java:47-294)
+            f_ = body["field"]
+            boost = float(body.get("boost", 1.0))
+            vv = f"cast({f_} as double)"
+            specs = {k: body[k] for k in ("saturation", "log", "sigmoid") if k in body}
+            if len(specs) != 1:
+                raise ValueError("rank_feature needs exactly one of saturation/log/sigmoid")
+            (fn, spec), = specs.items()
+            if fn == "saturation":
+                if "pivot" not in spec:
+                    raise ValueError("rank_feature saturation requires an explicit pivot")
+                e = f"{vv} / ({vv} + {float(spec['pivot'])!r})"
+            elif fn == "log":
+                e = f"ln({float(spec['scaling_factor'])!r} + {vv})"
+            else:
+                p, x = float(spec["pivot"]), float(spec["exponent"])
+                e = f"power({vv}, {x!r}) / (power({vv}, {x!r}) + {p ** x!r})"
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT conv_id, turn_idx, {boost!r} * ({e}) AS score
+  FROM transcripts WHERE {f_} IS NOT NULL AND {vv} > 0
+)"""
+            )
+            return a
+        if kind == "has_child":
+            # twin of plans/query_dsl._has_child (HasChildQueryBuilder.java):
+            # inner query scores over the WHOLE index, child restriction is a
+            # candidate filter after scoring
+            inner = self.scored(body["query"])
+            mode = body.get("score_mode", "none")
+            min_c = int(body.get("min_children", 1))
+            max_c = body.get("max_children")
+            expr = {
+                "none": "1.0", "sum": "sum(c.score)", "max": "max(c.score)",
+                "min": "min(c.score)", "avg": "avg(c.score)",
+            }[mode]
+            max_clause = f" AND pp.nc <= {int(max_c)}" if max_c is not None else ""
+            self.ctes.append(
+                f"""
+{a}_pp AS (
+  SELECT c.conv_id, {expr} AS cscore, count(*) AS nc
+  FROM {inner} c WHERE c.turn_idx > 0 GROUP BY c.conv_id
+),
+{a} AS (
+  SELECT p.conv_id, p.turn_idx, cast(pp.cscore as double) AS score
+  FROM transcripts p JOIN {a}_pp pp ON p.conv_id = pp.conv_id
+  WHERE p.turn_idx = 0 AND pp.nc >= {min_c}{max_clause}
+)"""
+            )
+            return a
+        if kind == "has_parent":
+            # twin of plans/query_dsl._has_parent (HasParentQueryBuilder.java)
+            inner = self.scored(body["query"])
+            sc = "cast(p.score as double)" if body.get("score") else "1.0"
+            self.ctes.append(
+                f"""
+{a} AS (
+  SELECT c.conv_id, c.turn_idx, {sc} AS score
+  FROM transcripts c JOIN {inner} p
+    ON c.conv_id = p.conv_id AND p.turn_idx = 0
+  WHERE c.turn_idx > 0
+)"""
+            )
+            return a
         raise ValueError(f"oracle cannot express: {kind}")
 
     def _more_like_this(self, body: dict, a: str) -> str:
@@ -605,7 +682,8 @@ class _SqlGen:
                     e = f"sqrt({e})"
                 v = f"({e} * {float(fn.get('weight', 1.0))})"
             elif "script_score" in fn:
-                v = f"(({fn['script_score']['script']}) * {float(fn.get('weight', 1.0))})"
+                s = painless.script_sql(fn["script_score"]["script"])
+                v = f"(({s}) * {float(fn.get('weight', 1.0))})"
             else:
                 raise ValueError(f"unsupported function: {list(fn)}")
             if "filter" in fn:

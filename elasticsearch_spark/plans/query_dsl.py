@@ -111,6 +111,14 @@ def normalize_query(q: dict) -> dict:
         # inside span_near/span_not it would need term-dictionary expansion at
         # position-algebra build time — unsupported (raises in _span_terms).
         return normalize_query(body["match"])
+    if kind == "wrapper":
+        # WrapperQueryBuilder.java: base64-encoded JSON query, decoded at
+        # rewrite time. One rewrite here covers the logical path, the
+        # indexed lowering, AND the oracle (all call normalize_query).
+        import base64
+        import json
+
+        return normalize_query(json.loads(base64.b64decode(body["query"])))
     if kind == "match_bool_prefix":
         (field, spec), = body.items()
         if isinstance(spec, str):
@@ -521,7 +529,137 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         return _more_like_this(ctx, body)
     if kind == "intervals":
         return _intervals(ctx, body)
+    if kind == "has_child":
+        return _has_child(ctx, body)
+    if kind == "has_parent":
+        return _has_parent(ctx, body)
+    if kind == "parent_id":
+        # ParentIdQueryBuilder.java:135-142: children routed to the given
+        # parent id. Join-field analog on transcripts: parent = the
+        # conversation opener (turn_idx = 0), children = later turns,
+        # routing key = conv_id.
+        pid = body["id"]
+        return Compiled(
+            predicate=(F.col("conv_id") == F.lit(pid)) & (F.col("turn_idx") > 0)
+        )
+    if kind == "script":
+        # script query (ScriptQueryBuilder.java, reg SearchModule.java:827):
+        # per-doc boolean script as a filter. Painless expression subset
+        # translated to a Catalyst predicate (functions/painless.py);
+        # constant-score 1.0 in scoring context like other filters.
+        from ..functions import painless
+
+        return Compiled(predicate=F.expr(painless.script_sql(body["script"])))
+    if kind == "rank_feature":
+        return _rank_feature(ctx, body)
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _rank_feature(ctx: _Ctx, body: dict) -> Compiled:
+    """rank_feature query (mapper-extras RankFeatureQueryBuilder.java:47-294):
+    scores a positive per-doc feature value S through one of
+      saturation: boost * S / (S + pivot)
+      log:        boost * ln(scaling_factor + S)
+      sigmoid:    boost * S^exp / (S^exp + pivot^exp)
+    Docs with a null or non-positive feature don't match (rank_feature
+    fields index positive values only). The pivot must be explicit (ES's
+    computed-default pivot needs index stats; fail loudly instead)."""
+    f_ = body["field"]
+    boost = float(body.get("boost", 1.0))
+    v = F.col(f_).cast("double")
+    specs = {k: body[k] for k in ("saturation", "log", "sigmoid") if k in body}
+    if len(specs) != 1:
+        raise ValueError("rank_feature needs exactly one of saturation/log/sigmoid")
+    (fn, spec), = specs.items()
+    if fn == "saturation":
+        if "pivot" not in spec:
+            raise ValueError("rank_feature saturation requires an explicit pivot")
+        pivot = float(spec["pivot"])
+        score = v / (v + F.lit(pivot))
+    elif fn == "log":
+        score = F.log(F.lit(float(spec["scaling_factor"])) + v)  # Math.log = ln
+    else:
+        pivot, exp = float(spec["pivot"]), float(spec["exponent"])
+        score = F.pow(v, F.lit(exp)) / (F.pow(v, F.lit(exp)) + F.lit(pivot**exp))
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+    cand = cand.where(v.isNotNull() & (v > 0))
+    return Compiled(
+        scored=cand.select(*ctx.key_cols, (F.lit(boost) * score).alias("score"))
+    )
+
+
+# ------------------------------------------------------------- parent-join
+# Join-field analog (modules/parent-join): parent and child documents live in
+# the SAME index, related by a routing key. On transcripts the natural
+# relation is conversation-opener -> later turns: parent doc = turn_idx 0,
+# child docs = turn_idx > 0, join/routing key = conv_id (every child routes
+# to its parent's shard — exactly ES's parent-join routing requirement).
+# Inner-query scores use whole-index stats (parent and child docs share one
+# Lucene index in ES), so the child/parent restriction is a candidate filter
+# (base_pred), never a stats filter.
+def _parent_pred() -> Column:
+    return F.col("turn_idx") == 0
+
+
+def _child_pred() -> Column:
+    return F.col("turn_idx") > 0
+
+
+def _has_child(ctx: _Ctx, body: dict) -> Compiled:
+    """has_child (HasChildQueryBuilder.java:93-100,385-402): return PARENT
+    docs with >= min_children / <= max_children matching children; parent
+    score per score_mode (none -> constant 1, else min/max/sum/avg of child
+    scores — Lucene join ScoreMode)."""
+    mode = body.get("score_mode", "none")
+    min_children = int(body.get("min_children", 1))  # DEFAULT_MIN_CHILDREN=1
+    max_children = body.get("max_children")  # DEFAULT_MAX_CHILDREN=MAX_INT
+    if mode not in ("none", "sum", "max", "min", "avg"):
+        raise ValueError(f"has_child score_mode {mode!r} unsupported")
+    inner_ctx = _Ctx(ctx.docs, ctx.key_cols, ctx.text_col, base_pred=_child_pred())
+    # base_pred prunes candidates early; the .where is the semantic filter
+    # (some scored leaves, e.g. keyword-idf term, ignore base_pred)
+    child = _scored_leaf(inner_ctx, normalize_query(body["query"])).where(_child_pred())
+    agg = {
+        "none": F.first(F.lit(1.0)),
+        "sum": F.sum("score"),
+        "max": F.max("score"),
+        "min": F.min("score"),
+        "avg": F.avg("score"),
+    }[mode]
+    per_parent = child.groupBy("conv_id").agg(
+        agg.alias("_cscore"), F.count(F.lit(1)).alias("_nc")
+    )
+    nc_ok = F.col("_nc") >= min_children
+    if max_children is not None:
+        nc_ok = nc_ok & (F.col("_nc") <= int(max_children))
+    per_parent = per_parent.where(nc_ok)
+    parents = ctx.docs.where(_parent_pred())
+    if ctx.base_pred is not None:
+        parents = parents.where(ctx.base_pred)
+    # per-parent side is one row per matching conversation — small relative
+    # to the corpus after the child agg; AQE broadcast-joins it at runtime
+    scored = parents.join(per_parent, "conv_id").select(
+        *ctx.key_cols, F.col("_cscore").cast("double").alias("score")
+    )
+    return Compiled(scored=scored)
+
+
+def _has_parent(ctx: _Ctx, body: dict) -> Compiled:
+    """has_parent (HasParentQueryBuilder.java:63-77): return CHILD docs whose
+    parent matches; score=false (default) -> constant 1, true -> parent's
+    score propagated to every child."""
+    want_score = bool(body.get("score", False))
+    inner_ctx = _Ctx(ctx.docs, ctx.key_cols, ctx.text_col, base_pred=_parent_pred())
+    parent = _scored_leaf(inner_ctx, normalize_query(body["query"])).where(_parent_pred())
+    pp = parent.select("conv_id", F.col("score").alias("_pscore"))
+    children = ctx.docs.where(_child_pred())
+    if ctx.base_pred is not None:
+        children = children.where(ctx.base_pred)
+    score_col = F.col("_pscore") if want_score else F.lit(1.0)
+    scored = children.join(pp, "conv_id").select(
+        *ctx.key_cols, score_col.cast("double").alias("score")
+    )
+    return Compiled(scored=scored)
 
 
 def _intervals(ctx: _Ctx, body: dict) -> Compiled:
@@ -895,7 +1033,11 @@ def _function_score(ctx: _Ctx, body: dict) -> Compiled:
                 raise ValueError(f"modifier {mod} unsupported")
             val = v * F.lit(float(fn.get("weight", 1.0)))
         elif "script_score" in fn:
-            val = F.expr(fn["script_score"]["script"]) * F.lit(float(fn.get("weight", 1.0)))
+            # dict scripts are Painless (translated); strings are SQL
+            from ..functions import painless
+
+            sql = painless.script_sql(fn["script_score"]["script"])
+            val = F.expr(sql) * F.lit(float(fn.get("weight", 1.0)))
         else:
             raise ValueError(f"unsupported function: {list(fn)}")
         if "filter" in fn:

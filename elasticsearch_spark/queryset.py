@@ -2,6 +2,8 @@
 run by both the Spark engine and the DuckDB oracle. Keep query text free of
 duplicated terms (BooleanQuery duplicate-clause semantics are out of scope)."""
 
+import base64 as _b64
+
 SEARCH_QUERIES: dict[str, dict] = {
     "match_or_topk": {"match": {"text": "spark query fast"}},
     "match_and_topk": {"match": {"text": {"query": "join table scan", "operator": "and"}}},
@@ -128,6 +130,45 @@ SEARCH_QUERIES: dict[str, dict] = {
     "simple_query_string_topk": {
         "simple_query_string": {"query": '+table ("join" | scan)'}
     },
+    # Painless expression subset (functions/painless.py): script query +
+    # script_score with dict-form scripts (ScriptQueryBuilder reg :827,
+    # ScriptScoreFunctionBuilder reg :661-683)
+    "script_query_topk": {
+        "script": {
+            "script": {
+                "source": "doc['turn_idx'].value % 3 == 0 && doc['turn_idx'].value < 15",
+                "lang": "painless",
+            }
+        }
+    },
+    # rank_feature (mapper-extras RankFeatureQueryBuilder): positive feature
+    # column scored through the saturation function
+    "rank_feature_sat": {
+        "rank_feature": {"field": "turn_idx", "saturation": {"pivot": 5}, "boost": 1.5}
+    },
+    # wrapper (WrapperQueryBuilder): base64-encoded JSON query, decoded in
+    # normalize_query so all three paths share the rewrite
+    "wrapper_match": {
+        "wrapper": {
+            "query": _b64.b64encode(b'{"match": {"text": "spark fast"}}').decode()
+        }
+    },
+    "function_score_painless": {
+        "function_score": {
+            "query": {"match": {"text": "table"}},
+            "functions": [
+                {
+                    "script_score": {
+                        "script": {
+                            "source": "Math.log(2 + doc['turn_idx'].value) * params.w",
+                            "params": {"w": 2},
+                        }
+                    }
+                }
+            ],
+            "boost_mode": "multiply",
+        }
+    },
 }
 
 # intervals queries (positions semantics; run on BOTH the logical path and
@@ -225,6 +266,38 @@ SPAN_QUERIES: dict[str, dict] = {
             },
         }
     },
+}
+
+# parent-join queries (modules/parent-join: HasChildQueryBuilder,
+# HasParentQueryBuilder, ParentIdQueryBuilder). Join-field analog on
+# transcripts: parent doc = conversation opener (turn_idx 0), children =
+# later turns, routing key = conv_id. Logical path only (the result is a
+# key-join over full inner match sets, not a top-k postings problem).
+JOIN_QUERIES: dict[str, dict] = {
+    "has_child_sum": {
+        "has_child": {
+            "type": "turn",
+            "query": {"match": {"text": "join table"}},
+            "score_mode": "sum",
+        }
+    },
+    "has_child_min_max": {
+        "has_child": {
+            "type": "turn",
+            "query": {"match": {"text": "query"}},
+            "score_mode": "max",
+            "min_children": 5,
+            "max_children": 15,
+        }
+    },
+    "has_parent_score": {
+        "has_parent": {
+            "parent_type": "conversation",
+            "query": {"match": {"text": "spark fast"}},
+            "score": True,
+        }
+    },
+    "parent_id_children": {"parent_id": {"type": "turn", "id": "conv_000007"}},
 }
 
 # cursoring fixtures (operators/cursor.py): (sort_cols, after, size) etc.

@@ -11,6 +11,7 @@ from elasticsearch_spark.plans import query_dsl as Q
 from elasticsearch_spark.queryset import (
     DEFAULT_K,
     INTERVALS_QUERIES,
+    JOIN_QUERIES,
     SEARCH_QUERIES,
     SPAN_QUERIES,
 )
@@ -39,6 +40,23 @@ def test_query_matches_oracle(name, spark, transcripts, duck):
     }
     want = {
         (c, int(t), float(s))
+        for c, t, s in duck.execute(oracle.search_sql(qd, DEFAULT_K)).fetchall()
+    }
+    assert got == want, f"{name}: spark={sorted(got)} oracle={sorted(want)}"
+
+
+# parent-join family (modules/parent-join): compared at the driver gate's 4dp
+# (score_mode=sum adds up to 19 BM25 doubles in engine-dependent order, so
+# exact float equality is not guaranteed across Spark and DuckDB)
+@pytest.mark.parametrize("name", sorted(JOIN_QUERIES))
+def test_join_query_matches_oracle(name, spark, transcripts, duck):
+    qd = JOIN_QUERIES[name]
+    got = {
+        (r.conv_id, r.turn_idx, round(r.score, 4))
+        for r in Q.search(transcripts, qd, KEYS, k=DEFAULT_K).collect()
+    }
+    want = {
+        (c, int(t), round(float(s), 4))
         for c, t, s in duck.execute(oracle.search_sql(qd, DEFAULT_K)).fetchall()
     }
     assert got == want, f"{name}: spark={sorted(got)} oracle={sorted(want)}"

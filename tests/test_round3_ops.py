@@ -528,3 +528,240 @@ class TestAutoDateHistogramCalendar:
         want = [(str(r[0]), int(r[1])) for r in con.execute(sql).fetchall()]
         got = self._run(spark, docs, buckets=10)
         assert got == want
+
+
+class TestParentJoin:
+    """Parent-join family (modules/parent-join: HasChildQueryBuilder.java,
+    HasParentQueryBuilder.java, ParentIdQueryBuilder.java). Join-field analog:
+    parent doc = conversation opener (turn_idx 0), children = later turns,
+    routing key = conv_id."""
+
+    def _docs(self, spark):
+        rows = []
+        for c, texts in [
+            ("c1", ["opener spark", "alpha beta", "alpha", "gamma"]),
+            ("c2", ["opener other", "alpha", "delta", "delta"]),
+            ("c3", ["opener spark fast", "gamma", "gamma", "gamma"]),
+        ]:
+            rows += [(c, i, t) for i, t in enumerate(texts)]
+        return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    def test_has_child_returns_parents_only(self, spark):
+        docs = self._docs(spark)
+        qd = {"has_child": {"type": "turn", "query": {"match": {"text": "alpha"}}}}
+        got = Q.search(docs, qd, KEYS, k=10).collect()
+        assert {(r.conv_id, r.turn_idx) for r in got} == {("c1", 0), ("c2", 0)}
+        assert all(r.score == 1.0 for r in got)  # score_mode none -> constant
+
+    def test_has_child_min_children(self, spark):
+        docs = self._docs(spark)
+        qd = {
+            "has_child": {
+                "type": "turn",
+                "query": {"match": {"text": "alpha"}},
+                "min_children": 2,
+            }
+        }
+        got = Q.search(docs, qd, KEYS, k=10).collect()
+        assert {(r.conv_id, r.turn_idx) for r in got} == {("c1", 0)}
+
+    def test_has_child_sum_mode(self, spark):
+        docs = self._docs(spark)
+        qd = {
+            "has_child": {
+                "type": "turn",
+                "query": {"match": {"text": "gamma"}},
+                "score_mode": "sum",
+            }
+        }
+        got = {r.conv_id: r.score for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        # c3 has 3 matching children, c1 has 1 -> sum strictly larger for c3
+        assert set(got) == {"c1", "c3"} and got["c3"] > got["c1"]
+
+    def test_has_parent_children_only(self, spark):
+        docs = self._docs(spark)
+        qd = {
+            "has_parent": {
+                "parent_type": "conversation",
+                "query": {"match": {"text": "spark"}},
+            }
+        }
+        got = Q.search(docs, qd, KEYS, k=10).collect()
+        convs = {r.conv_id for r in got}
+        assert convs == {"c1", "c3"}
+        assert all(r.turn_idx > 0 for r in got)
+        assert all(r.score == 1.0 for r in got)  # score=false default
+
+    def test_has_parent_score_propagates(self, spark):
+        docs = self._docs(spark)
+        qd = {
+            "has_parent": {
+                "parent_type": "conversation",
+                "query": {"match": {"text": "spark fast"}},
+                "score": True,
+            }
+        }
+        got = {(r.conv_id, r.turn_idx): r.score for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        # every child of one conv carries exactly its parent's score
+        c1 = {v for (c, _), v in got.items() if c == "c1"}
+        c3 = {v for (c, _), v in got.items() if c == "c3"}
+        assert len(c1) == 1 and len(c3) == 1
+        assert c3 != c1  # 'fast' matches only c3's opener -> different score
+
+    def test_parent_id(self, spark):
+        docs = self._docs(spark)
+        qd = {"parent_id": {"type": "turn", "id": "c2"}}
+        got = Q.search(docs, qd, KEYS, k=10).collect()
+        assert {(r.conv_id, r.turn_idx) for r in got} == {("c2", 1), ("c2", 2), ("c2", 3)}
+
+    def test_bad_score_mode_raises(self, spark):
+        docs = self._docs(spark)
+        qd = {"has_child": {"type": "turn", "query": {"match_all": {}}, "score_mode": "geo"}}
+        with pytest.raises(ValueError, match="score_mode"):
+            Q.search(docs, qd, KEYS, k=10)
+
+
+class TestPainless:
+    """Painless expression subset -> SQL (functions/painless.py),
+    ref modules/lang-painless (PainlessScriptEngine), ScriptQueryBuilder."""
+
+    def test_doc_values_and_params(self):
+        from elasticsearch_spark.functions import painless
+
+        sql = painless.translate(
+            "doc['turn_idx'].value * params.w + params['b']", {"w": 2, "b": 0.5}
+        )
+        assert sql == "turn_idx * 2 + 0.5"
+
+    def test_math_and_ops(self):
+        from elasticsearch_spark.functions import painless
+
+        sql = painless.translate(
+            "Math.log(1 + doc['x'].value) > 2 && doc['y'].value != 3", {}
+        )
+        assert sql == "ln ( 1 + x ) > 2 AND y <> 3"
+
+    def test_ternary(self):
+        from elasticsearch_spark.functions import painless
+
+        sql = painless.translate("doc['x'].value > 1 ? 2.0 : 0.5", {})
+        assert sql == "CASE WHEN x > 1 THEN 2.0 ELSE 0.5 END"
+
+    def test_nested_ternary_right_assoc(self):
+        from elasticsearch_spark.functions import painless
+
+        sql = painless.translate("doc['x'].value > 1 ? 2 : doc['x'].value > 0 ? 1 : 0", {})
+        assert sql == "CASE WHEN x > 1 THEN 2 ELSE CASE WHEN x > 0 THEN 1 ELSE 0 END END"
+
+    def test_missing_param_raises(self):
+        from elasticsearch_spark.functions import painless
+
+        with pytest.raises(ValueError, match="missing param"):
+            painless.translate("params.nope", {})
+
+    def test_unsupported_raises(self):
+        from elasticsearch_spark.functions import painless
+
+        with pytest.raises(ValueError):
+            painless.translate("doc['x'].value.length()", {})
+        with pytest.raises(ValueError, match="Math.tan"):
+            painless.translate("Math.tan(1)", {})
+
+    def test_sql_passthrough_string(self):
+        from elasticsearch_spark.functions import painless
+
+        assert painless.script_sql("turn_idx % 2 = 0") == "turn_idx % 2 = 0"
+
+    def test_script_query_engine_vs_duck(self, spark, transcripts, sf_dir):
+        import duckdb
+
+        from elasticsearch_spark import oracle
+        from elasticsearch_spark.queryset import SEARCH_QUERIES
+
+        qd = SEARCH_QUERIES["script_query_topk"]
+        got = {
+            (r.conv_id, r.turn_idx, r.score)
+            for r in Q.search(transcripts, qd, KEYS, k=10).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+        want = {
+            (c, int(t), float(s))
+            for c, t, s in con.execute(oracle.search_sql(qd, 10)).fetchall()
+        }
+        assert got == want
+
+    def test_function_score_painless_both_paths(self, spark, transcripts, sf_dir, tmp_path):
+        import duckdb
+
+        from elasticsearch_spark import oracle
+        from elasticsearch_spark.operators import index_build, topk
+        from elasticsearch_spark.queryset import SEARCH_QUERIES
+
+        qd = SEARCH_QUERIES["function_score_painless"]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+        want = {
+            (c, int(t), round(float(s), 4))
+            for c, t, s in con.execute(oracle.search_sql(qd, 10)).fetchall()
+        }
+        got = {
+            (r.conv_id, r.turn_idx, round(r.score, 4))
+            for r in Q.search(transcripts, qd, KEYS, k=10).collect()
+        }
+        assert got == want
+        store = index_build.build_index(spark, transcripts, str(tmp_path / "ix"), n_slices=1, partitions=4)
+        got_ix = {
+            (r.conv_id, r.turn_idx, round(r.score, 4))
+            for r in topk.search_indexed(spark, store, qd, k=10).collect()
+        }
+        assert got_ix == want
+
+
+class TestRankFeatureWrapper:
+    """rank_feature (mapper-extras RankFeatureQueryBuilder.java) and wrapper
+    (WrapperQueryBuilder.java)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [("c1", 0, "x"), ("c1", 4, "x"), ("c1", 12, "spark"), ("c2", 6, "y")],
+            "conv_id string, turn_idx int, text string",
+        )
+
+    def test_saturation(self, spark):
+        docs = self._docs(spark)
+        qd = {"rank_feature": {"field": "turn_idx", "saturation": {"pivot": 4}}}
+        got = {(r.conv_id, r.turn_idx): r.score for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        # turn_idx 0 excluded (non-positive feature); S/(S+pivot)
+        assert got == {
+            ("c1", 4): pytest.approx(4 / 8),
+            ("c1", 12): pytest.approx(12 / 16),
+            ("c2", 6): pytest.approx(6 / 10),
+        }
+
+    def test_log_and_sigmoid(self, spark):
+        import math
+
+        docs = self._docs(spark)
+        # top_k rounds scores to 4dp (deterministic tie-break contract)
+        qd = {"rank_feature": {"field": "turn_idx", "log": {"scaling_factor": 2}}}
+        got = {r.turn_idx: r.score for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        assert got[12] == round(math.log(14), 4)
+        qd = {"rank_feature": {"field": "turn_idx", "sigmoid": {"pivot": 6, "exponent": 2.0}}}
+        got = {r.turn_idx: r.score for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        assert got[6] == round(0.5, 4)
+        assert got[12] == round(144 / (144 + 36), 4)
+
+    def test_validation(self, spark):
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="exactly one"):
+            Q.search(docs, {"rank_feature": {"field": "turn_idx"}}, KEYS, k=10)
+        with pytest.raises(ValueError, match="pivot"):
+            Q.search(docs, {"rank_feature": {"field": "turn_idx", "saturation": {}}}, KEYS, k=10)
+
+    def test_wrapper_decodes(self, spark):
+        import base64
+
+        inner = {"term": {"text": "spark"}}
+        enc = base64.b64encode(b'{"term": {"text": "spark"}}').decode()
+        assert Q.normalize_query({"wrapper": {"query": enc}}) == inner
