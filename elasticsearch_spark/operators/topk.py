@@ -335,6 +335,14 @@ class _Lowerer:
             return f"{f_} = {lit}"
         if lk == "terms":
             (f_, vs), = lb.items()
+            if isinstance(vs, dict):
+                # terms lookup: resolve the point-read here (the GET analog),
+                # then lower like a literal terms filter
+                from ..plans.query_dsl import _Ctx, _terms_lookup
+
+                vs = _terms_lookup(_Ctx(self.docs, [], "text"), vs)
+                if not vs:
+                    return "false"
             lits = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in vs)
             return f"{f_} IN ({lits})"
         if lk == "range":

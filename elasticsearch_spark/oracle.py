@@ -356,6 +356,13 @@ def _pred_sql(kind: str, body: dict) -> str:
         return f"{field} = {_sql_str(v)}"
     if kind == "terms":
         (field, vs), = body.items()
+        if isinstance(vs, dict):
+            # terms lookup (indices/TermsLookup.java): scalar subquery GET
+            conv, _, turn = vs["id"].partition("#")
+            return (
+                f"{field} IN (SELECT {vs['path']} FROM transcripts "
+                f"WHERE conv_id = {_sql_str(conv)} AND turn_idx = {int(turn)})"
+            )
         return f"{field} IN ({', '.join(_sql_str(v) for v in vs)})"
     if kind == "range":
         (field, spec), = body.items()
@@ -389,6 +396,8 @@ _PRED_KINDS = {
 def _keyword_idf_sql(kind: str, body: dict, alias: str) -> tuple[str, str]:
     """term/terms in scoring context: score = idf(value) (norms-less keyword)."""
     (field, v), = body.items()
+    if kind == "terms" and isinstance(v, dict):
+        raise ValueError("terms lookup is filter-context only")
     vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
     vals_in = ", ".join(_sql_str(x) for x in vals)
     idf = scoring.idf_sql("n_docs", "df")

@@ -450,6 +450,24 @@ def _multi_term(ctx: _Ctx, field: str, term_pred) -> Compiled:
     return Compiled(scored=cand.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score")))
 
 
+def _terms_lookup(ctx: _Ctx, spec: dict) -> list:
+    """Resolve a terms-lookup spec {"id": "conv#turn", "path": col} to the
+    referenced doc's value(s) of `path` — one point read, like ES's GET."""
+    if "id" not in spec or "path" not in spec:
+        raise ValueError("terms lookup requires id and path")
+    conv, _, turn = spec["id"].partition("#")
+    rows = (
+        ctx.docs.where((F.col("conv_id") == conv) & (F.col("turn_idx") == int(turn)))
+        .select(spec["path"])
+        .collect()
+    )
+    if not rows:
+        return []
+    v = rows[0][0]
+    vals = list(v) if isinstance(v, (list, tuple)) else [v]
+    return [x for x in vals if x is not None]
+
+
 def _ids_pred(ctx: _Ctx, values: list[str]) -> Column:
     """_id = conv_id + '#' + turn_idx (derived doc identity, IdFieldMapper analog)."""
     idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
@@ -475,6 +493,13 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         return Compiled(predicate=M.term_filter(field, v))
     if kind == "terms":
         (field, vs), = body.items()
+        if isinstance(vs, dict):
+            # terms lookup (indices/TermsLookup.java:43-62; TermsQueryBuilder
+            # fetch-then-rewrite): GET the referenced doc, use its `path`
+            # field's value(s) as the terms list. The GET analog is a pruned
+            # point read collected on the driver (ES does the same single-doc
+            # fetch on the coordinating node before rewriting).
+            return Compiled(predicate=M.terms_filter(field, _terms_lookup(ctx, vs)))
         return Compiled(predicate=M.terms_filter(field, list(vs)))
     if kind == "range":
         (field, spec), = body.items()
@@ -1099,6 +1124,8 @@ def _scored_leaf(ctx: _Ctx, q: dict) -> DataFrame:
         return c.scored
     if kind in ("term", "terms"):
         (field, v), = q[kind].items()
+        if kind == "terms" and isinstance(v, dict):
+            raise ValueError("terms lookup is filter-context only")
         vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
         return _keyword_idf_scored(ctx, field, vals)
     return c.as_scored(ctx, 1.0)  # range/exists/ids/match_all -> ConstantScore 1.0

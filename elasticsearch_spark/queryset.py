@@ -141,6 +141,24 @@ SEARCH_QUERIES: dict[str, dict] = {
             }
         }
     },
+    # terms lookup (indices/TermsLookup.java): the filter's terms come from a
+    # referenced document's field (GET-then-rewrite)
+    "terms_lookup_filter": {
+        "bool": {
+            "must": [{"match": {"text": "query"}}],
+            "filter": [
+                {
+                    "terms": {
+                        "tool": {
+                            "index": "transcripts",
+                            "id": "conv_000003#0",
+                            "path": "tool",
+                        }
+                    }
+                }
+            ],
+        }
+    },
     # rank_feature (mapper-extras RankFeatureQueryBuilder): positive feature
     # column scored through the saturation function
     "rank_feature_sat": {

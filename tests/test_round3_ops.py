@@ -765,3 +765,39 @@ class TestRankFeatureWrapper:
         inner = {"term": {"text": "spark"}}
         enc = base64.b64encode(b'{"term": {"text": "spark"}}').decode()
         assert Q.normalize_query({"wrapper": {"query": enc}}) == inner
+
+
+class TestTermsLookup:
+    """terms lookup (indices/TermsLookup.java:43-62): GET the referenced doc,
+    use its path field's values as the terms list."""
+
+    def test_lookup_resolves_and_filters(self, spark):
+        docs = spark.createDataFrame(
+            [("c1", 0, "x", "search"), ("c1", 1, "y", "code"),
+             ("c2", 0, "z", "search"), ("c2", 1, "w", "browser")],
+            "conv_id string, turn_idx int, text string, tool string",
+        )
+        qd = {"bool": {"filter": [
+            {"terms": {"tool": {"index": "t", "id": "c1#0", "path": "tool"}}}
+        ]}}
+        got = {(r.conv_id, r.turn_idx) for r in Q.search(docs, qd, KEYS, k=10).collect()}
+        assert got == {("c1", 0), ("c2", 0)}  # tool == 'search'
+
+    def test_missing_doc_matches_nothing(self, spark):
+        docs = spark.createDataFrame(
+            [("c1", 0, "x", "search")],
+            "conv_id string, turn_idx int, text string, tool string",
+        )
+        qd = {"bool": {"filter": [
+            {"terms": {"tool": {"index": "t", "id": "nope#9", "path": "tool"}}}
+        ]}}
+        assert Q.search(docs, qd, KEYS, k=10).count() == 0
+
+    def test_scoring_context_raises(self, spark):
+        docs = spark.createDataFrame(
+            [("c1", 0, "x", "search")],
+            "conv_id string, turn_idx int, text string, tool string",
+        )
+        qd = {"terms": {"tool": {"index": "t", "id": "c1#0", "path": "tool"}}}
+        with pytest.raises(ValueError, match="filter-context"):
+            Q.search(docs, qd, KEYS, k=10)
