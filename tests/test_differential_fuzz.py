@@ -1,0 +1,131 @@
+"""Differential fuzzing: seeded random query trees from the supported DSL
+grammar, executed by THREE independent paths — the logical plan compiler, the
+segment-store kernel, and the DuckDB oracle — which must all agree on
+(doc, score-at-4dp) sets. This is the same triangle the driver's correctness
+gate checks, over a much wider slice of the query space than the hand-written
+fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from elasticsearch_spark import oracle
+from elasticsearch_spark.plans import query_dsl as Q
+
+KEYS = ["conv_id", "turn_idx"]
+N_QUERIES = 14
+K = 10
+
+
+@pytest.fixture(scope="module")
+def vocab(transcripts):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.functions import analysis
+
+    rows = (
+        transcripts.select(F.explode(analysis.tokens("text")).alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count"), "t").limit(60).collect()
+    )
+    return [r.t for r in rows]
+
+
+@pytest.fixture(scope="module")
+def store(spark, transcripts, tmp_path_factory):
+    from elasticsearch_spark.operators import index_build
+
+    root = tmp_path_factory.mktemp("fuzzidx")
+    return index_build.build_index(spark, transcripts, str(root), n_slices=1, partitions=4)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
+    kind = rng.choice(
+        ["match", "match", "match", "match_phrase", "term", "range", "exists", "prefix"]
+    )
+    if kind == "match":
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        spec: dict = {"query": " ".join(terms)}
+        if len(terms) > 1 and rng.random() < 0.3:
+            spec["operator"] = "and"
+        elif len(terms) > 2 and rng.random() < 0.3:
+            spec["minimum_should_match"] = 2
+        return {"match": {"text": spec}}
+    if kind == "match_phrase":
+        return {"match_phrase": {"text": " ".join(rng.sample(vocab, 2))}}
+    if kind == "term":
+        f, vs = rng.choice(
+            [("role", ["user", "assistant", "system", "tool"]),
+             ("tool", ["search", "code", "browser"])]
+        )
+        return {"term": {f: rng.choice(vs)}}
+    if kind == "range":
+        lo = rng.randint(0, 10)
+        return {"range": {"turn_idx": {"gte": lo, "lt": lo + rng.randint(2, 9)}}}
+    if kind == "exists":
+        return {"exists": {"field": "tool"}}
+    return {"prefix": {"text": rng.choice(vocab)[:2]}}
+
+
+def _gen_query(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
+    child = _gen_leaf if depth >= 1 else (
+        lambda r, v: _gen_query(r, v, depth + 1) if r.random() < 0.5 else _gen_leaf(r, v)
+    )
+    shape = rng.choice(["leaf", "bool", "bool", "dis_max", "constant_score"])
+    if shape == "leaf":
+        return _gen_leaf(rng, vocab)
+    if shape == "dis_max":
+        return {
+            "dis_max": {
+                "queries": [child(rng, vocab) for _ in range(rng.randint(2, 3))],
+                "tie_breaker": rng.choice([0.0, 0.3]),
+            }
+        }
+    if shape == "constant_score":
+        return {"constant_score": {"filter": _gen_leaf(rng, vocab), "boost": rng.choice([1.0, 2.5])}}
+    body: dict = {}
+    if rng.random() < 0.7:
+        body["must"] = [child(rng, vocab)]
+    if rng.random() < 0.6:
+        body["should"] = [child(rng, vocab) for _ in range(rng.randint(1, 2))]
+        if rng.random() < 0.4:
+            body["minimum_should_match"] = 1
+    if rng.random() < 0.4:
+        body["filter"] = [_gen_leaf(rng, vocab)]
+    if rng.random() < 0.3:
+        body["must_not"] = [_gen_leaf(rng, vocab)]
+    if not body:
+        body["must"] = [_gen_leaf(rng, vocab)]
+    return {"bool": body}
+
+
+def _rows(df):
+    return sorted((r.conv_id, r.turn_idx, round(r.score, 4)) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", range(N_QUERIES))
+def test_three_engines_agree(seed, spark, transcripts, store, vocab, duck):
+    from elasticsearch_spark.operators import topk
+
+    rng = random.Random(1000 + seed)
+    qd = _gen_query(rng, vocab)
+    try:
+        want = sorted(
+            (c, int(t), round(float(s), 4))
+            for c, t, s in duck.execute(oracle.search_sql(qd, K)).fetchall()
+        )
+    except ValueError as e:
+        pytest.skip(f"oracle cannot express generated query: {e}")
+    got_logical = _rows(Q.search(transcripts, qd, KEYS, k=K))
+    got_indexed = _rows(topk.search_indexed(spark, store, qd, k=K))
+    assert got_logical == want, f"logical vs oracle for {qd}"
+    assert got_indexed == want, f"indexed vs oracle for {qd}"
