@@ -136,8 +136,30 @@ def _render(tokens: list[str]) -> str:
             then = _render(tokens[i + 1 : j])
             other = _render(tokens[j + 1 :])
             return f"CASE WHEN {cond} THEN {then} ELSE {other} END"
-    if ":" in tokens or "?" in tokens:
-        raise ValueError("unbalanced ternary ?:")
+    if "?" in tokens or ":" in tokens:
+        # no depth-0 ternary, so any ?/: lives inside a paren group —
+        # recurse into each top-level group to rewrite it there
+        out: list[str] = []
+        i = 0
+        while i < len(tokens):
+            if tokens[i] == "(":
+                d, j = 1, i + 1
+                while j < len(tokens) and d:
+                    if tokens[j] == "(":
+                        d += 1
+                    elif tokens[j] == ")":
+                        d -= 1
+                    j += 1
+                if d:
+                    raise ValueError("unbalanced parens")
+                out.append("( " + _render(tokens[i + 1 : j - 1]) + " )")
+                i = j
+            else:
+                out.append(tokens[i])
+                i += 1
+        if "?" in out or ":" in out:
+            raise ValueError("unbalanced ternary ?:")
+        return " ".join(out)
     return " ".join(tokens)
 
 

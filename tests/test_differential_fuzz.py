@@ -16,7 +16,7 @@ from elasticsearch_spark import oracle
 from elasticsearch_spark.plans import query_dsl as Q
 
 KEYS = ["conv_id", "turn_idx"]
-N_QUERIES = 14
+N_QUERIES = 18
 K = 10
 
 
@@ -80,7 +80,10 @@ def _gen_query(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
     child = _gen_leaf if depth >= 1 else (
         lambda r, v: _gen_query(r, v, depth + 1) if r.random() < 0.5 else _gen_leaf(r, v)
     )
-    shape = rng.choice(["leaf", "bool", "bool", "dis_max", "constant_score"])
+    shape = rng.choice(
+        ["leaf", "bool", "bool", "dis_max", "constant_score", "boosting",
+         "terms_set", "function_score"]
+    )
     if shape == "leaf":
         return _gen_leaf(rng, vocab)
     if shape == "dis_max":
@@ -92,6 +95,40 @@ def _gen_query(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
         }
     if shape == "constant_score":
         return {"constant_score": {"filter": _gen_leaf(rng, vocab), "boost": rng.choice([1.0, 2.5])}}
+    if shape == "boosting":
+        return {
+            "boosting": {
+                "positive": child(rng, vocab),
+                "negative": _gen_leaf(rng, vocab),
+                "negative_boost": rng.choice([0.2, 0.5]),
+            }
+        }
+    if shape == "terms_set":
+        return {
+            "terms_set": {
+                "text": {
+                    "terms": rng.sample(vocab, rng.randint(2, 4)),
+                    "minimum_should_match_script": "least(turn_idx, 2)",
+                }
+            }
+        }
+    if shape == "function_score":
+        return {
+            "function_score": {
+                "query": _gen_leaf(rng, vocab),
+                "functions": [
+                    {
+                        "field_value_factor": {
+                            "field": "turn_idx",
+                            "factor": 0.5,
+                            "missing": 1.0,
+                            "modifier": rng.choice(["none", "log1p", "sqrt"]),
+                        }
+                    }
+                ],
+                "boost_mode": rng.choice(["multiply", "sum"]),
+            }
+        }
     body: dict = {}
     if rng.random() < 0.7:
         body["must"] = [child(rng, vocab)]

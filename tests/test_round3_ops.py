@@ -801,3 +801,17 @@ class TestTermsLookup:
         qd = {"terms": {"tool": {"index": "t", "id": "c1#0", "path": "tool"}}}
         with pytest.raises(ValueError, match="filter-context"):
             Q.search(docs, qd, KEYS, k=10)
+
+
+class TestPainlessParenTernary:
+    def test_parenthesized_ternary(self):
+        from elasticsearch_spark.functions import painless
+
+        sql = painless.translate("(doc['x'].value > 1 ? 2 : 3) * params.w", {"w": 2})
+        assert sql == "( CASE WHEN x > 1 THEN 2 ELSE 3 END ) * 2"
+
+    def test_unbalanced_still_raises(self):
+        from elasticsearch_spark.functions import painless
+
+        with pytest.raises(ValueError, match="ternary"):
+            painless.translate("doc['x'].value ? 1", {})
