@@ -121,6 +121,15 @@ class IntervalsLeaf:
     not_terms: list[str] | None = None
     within_terms: list[str] | None = None
     within_gaps: int = -1
+    # per-step source field (field_masking_span inside span_near,
+    # FieldMaskingSpanQueryBuilder reg SearchModule.java:807): step i's
+    # positions come from term_fields[i]'s postings; None = all steps on
+    # `field`. Cross-field occurrence-key math is sound because the ordinal
+    # occupies the high bits of every field's keys.
+    term_fields: list[str] | None = None
+
+    def step_field(self, i: int) -> str:
+        return self.term_fields[i] if self.term_fields else self.field
 
 
 @dataclass
@@ -770,6 +779,16 @@ class _Lowerer:
                 raise ValueError("not_query (span_not) needs ordered or single-term")
             if not qterms:
                 return TermsLeaf(field=field_, terms=[], need=1)  # matches nothing
+            term_fields = src.get("fields")
+            if term_fields is not None:
+                if len(term_fields) != len(qterms):
+                    raise ValueError("intervals `fields` must align with the steps")
+                if within_terms is not None or first_end is not None:
+                    raise ValueError(
+                        "per-step fields support plain ordered/unordered chains"
+                    )
+                if any(isinstance(st, tuple) for st in qterms):
+                    raise ValueError("per-step fields cannot combine with span_multi")
             return IntervalsLeaf(
                 field=field_,
                 terms=qterms,
@@ -779,6 +798,7 @@ class _Lowerer:
                 not_terms=not_terms,
                 within_terms=within_terms,
                 within_gaps=int(src.get("within_gaps", -1)),
+                term_fields=term_fields,
             )
         raise ValueError(f"indexed path cannot lower: {kind}")
 
@@ -834,10 +854,11 @@ def _collect_ft(node, out: set, phrases: set):
     if isinstance(node, TermsLeaf):
         out.update((node.field, t) for t in node.terms)
     elif isinstance(node, IntervalsLeaf):
-        # a step is a term, or a tuple of expanded terms (span_multi step)
+        # a step is a term, or a tuple of expanded terms (span_multi step);
+        # a masked step (field_masking_span) reads its own field's postings
         fts = {
-            (node.field, t)
-            for st in node.terms
+            (node.step_field(i), t)
+            for i, st in enumerate(node.terms)
             for t in (st if isinstance(st, tuple) else (st,))
         }
         fts |= {(node.field, t) for t in (node.not_terms or [])}
@@ -1002,9 +1023,10 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 # every interval step must sit in the doc => in the doc's
                 # block; a tuple step (span_multi expansion) needs ANY member
                 # (within-chain terms are required too; not_terms are not)
-                for st in node.terms:
+                for i, st in enumerate(node.terms):
                     opts = st if isinstance(st, tuple) else (st,)
-                    if not any((node.field, t) in pres for t in opts):
+                    fld = node.step_field(i)
+                    if not any((fld, t) in pres for t in opts):
                         return False, 0.0
                 for t in node.within_terms or []:
                     if (node.field, t) not in pres:
@@ -1172,24 +1194,24 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 # all occurrence-key math stays inside one doc because the
                 # ordinal occupies the high bits: a searchsorted neighbor from
                 # another doc fails the high-bits equality check
-                def keys_of(t):
+                def keys_of(t, fld=node.field):
                     if isinstance(t, tuple):
                         # span_multi step: any expanded term fills the
                         # position — union of the members' occurrence keys
                         parts = [
-                            env[(node.field, x)][3]
+                            env[(fld, x)][3]
                             for x in t
-                            if env.get((node.field, x)) is not None
+                            if env.get((fld, x)) is not None
                         ]
                         parts = [p for p in parts if len(p)]
                         if not parts:
                             return None
                         return np.unique(np.concatenate(parts))
-                    e = env.get((node.field, t))
+                    e = env.get((fld, t))
                     return None if e is None else e[3]
 
                 m_ = len(node.terms)
-                ks = [keys_of(t) for t in node.terms]
+                ks = [keys_of(t, node.step_field(i)) for i, t in enumerate(node.terms)]
                 if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
                     return np.zeros(n, dtype=bool), np.zeros(n)
                 if node.within_terms is not None:

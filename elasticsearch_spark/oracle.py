@@ -241,17 +241,28 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             raise ValueError("first_end (span_first) supports a single term")
         if not_terms and not (ordered or m == 1):
             raise ValueError("not_query (span_not) needs ordered or single-term")
-    t = _toks(field)
+    # per-step source fields (field_masking_span in span_near) — twin of
+    # query_dsl._intervals: step i reads sfields[i]'s token stream,
+    # not_query always the outer field
+    sfields = src.get("fields") or [field] * m
+    if len(sfields) != m:
+        raise ValueError("intervals `fields` must align with the steps")
+    if src.get("fields") and (src.get("within_query") or first_end is not None):
+        raise ValueError("per-step fields support plain ordered/unordered chains")
+    tok_col = {f: ("toks" if f == field else f"toks_{i}")
+               for i, f in enumerate(dict.fromkeys([field, *sfields]))}
+    t = ", ".join(f"{_toks(f)} AS {c}" for f, c in tok_col.items())
 
-    def pos(term) -> str:
+    def pos(term, src_field=field) -> str:
         # 0-based positions (1-based index i over the token list); a
         # {"prefix": v} step accepts any token with the prefix
+        col = tok_col[src_field]
         if isinstance(term, dict):
-            cond = f"starts_with(toks[i], {_sql_str(term['prefix'])})"
+            cond = f"starts_with({col}[i], {_sql_str(term['prefix'])})"
         else:
-            cond = f"toks[i] = {_sql_str(term)}"
+            cond = f"{col}[i] = {_sql_str(term)}"
         return (
-            f"list_transform(list_filter(range(1, len(toks) + 1), "
+            f"list_transform(list_filter(range(1, len({col}) + 1), "
             f"i -> {cond}), i -> i - 1)"
         )
 
@@ -282,7 +293,7 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         c = f"""
 {a} AS (
   SELECT conv_id, turn_idx, 1.0 AS score
-  FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+  FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
   WHERE {cond}
 )"""
         return c, a
@@ -290,7 +301,7 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     if m == 0:
         cond = "false"
     elif m == 1:
-        p0 = pos(qterms[0])
+        p0 = pos(qterms[0], sfields[0])
         if first_end is not None:
             p0 = f"list_filter({p0}, p -> p < {int(first_end)})"
         if not_terms:
@@ -303,7 +314,7 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         # per-doc score = 1/(1 + min slop) over surviving starts
         end = "p0"
         for i in range(1, m):
-            end = f"list_min(list_filter({pos(qterms[i])}, p -> p > ({end})))"
+            end = f"list_min(list_filter({pos(qterms[i], sfields[i])}, p -> p > ({end})))"
         valid = f"({end}) IS NOT NULL"
         if max_gaps >= 0:
             valid += f" AND ({end}) - p0 - {m - 1} <= {max_gaps}"
@@ -313,15 +324,15 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
                 f"q -> q >= p0 AND q <= ({end}))) = 0"
             )
         slops = (
-            f"list_filter(list_transform({pos(qterms[0])}, "
+            f"list_filter(list_transform({pos(qterms[0], sfields[0])}, "
             f"p0 -> CASE WHEN {valid} THEN ({end}) - p0 - {m - 1} END), "
             f"s -> s IS NOT NULL)"
         )
     elif m == 2:
         gapf = "" if max_gaps < 0 else f" AND abs(a - b) - 1 <= {max_gaps}"
         slops = (
-            f"list_filter(list_transform({pos(qterms[0])}, a -> "
-            f"list_min(list_transform(list_filter({pos(qterms[1])}, "
+            f"list_filter(list_transform({pos(qterms[0], sfields[0])}, a -> "
+            f"list_min(list_transform(list_filter({pos(qterms[1], sfields[1])}, "
             f"b -> b <> a{gapf}), b -> abs(a - b) - 1))), s -> s IS NOT NULL)"
         )
     else:
@@ -336,14 +347,14 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
   SELECT conv_id, turn_idx, 1.0 / (1 + list_min(slops)) AS score
   FROM (
     SELECT conv_id, turn_idx, {{slops}} AS slops
-    FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
   ) WHERE len(slops) > 0
 )""".replace("{slops}", slops)
         return c, a
     c = f"""
 {a} AS (
   SELECT conv_id, turn_idx, 1.0 AS score
-  FROM (SELECT conv_id, turn_idx, {t} AS toks FROM transcripts)
+  FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
   WHERE {cond}
 )"""
     return c, a

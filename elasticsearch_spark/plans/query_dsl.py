@@ -104,6 +104,14 @@ def normalize_query(q: dict) -> dict:
         "span_within", "span_containing",
     ):
         return normalize_query(_rewrite_span(kind, body))
+    if kind == "field_masking_span":
+        # FieldMaskingSpanQueryBuilder (reg SearchModule.java:807): at the
+        # top level the mask only changes which field downstream span algebra
+        # *believes* the positions belong to — standalone it matches exactly
+        # the inner span query (documented divergence: Lucene scores with the
+        # masked field's norms; we keep the inner field's). Inside span_near
+        # the mask is honored per-step (see _rewrite_span).
+        return normalize_query(body["query"])
     if kind == "span_multi":
         # SpanMultiTermQueryWrapper (reg SearchModule.java:807): at the top
         # level the wrapper scores exactly like the wrapped multi-term query's
@@ -171,12 +179,17 @@ def _rewrite_span(kind: str, body: dict) -> dict:
         f, ts = _span_terms({kind: body})
         return {"match": {f: {"query": " ".join(ts)}}}
     if kind == "span_near":
-        # clauses: span_term, or span_multi wrapping prefix (SpanMultiTerm-
+        # clauses: span_term, span_multi wrapping prefix (SpanMultiTerm-
         # QueryBuilder reg :808 nested in SpanNear — one chain position
         # accepts ANY term matching the multi-term query; carried as a
-        # {"prefix": v} step through the intervals machinery)
-        fields, steps = set(), []
-        any_multi = False
+        # {"prefix": v} step through the intervals machinery), or
+        # field_masking_span (FieldMaskingSpanQueryBuilder reg :807 — the
+        # step's positions come from the INNER field's token stream while the
+        # mask satisfies the same-field check; carried as a per-step source
+        # field through the intervals machinery, ES's documented best-effort
+        # cross-field proximity)
+        fields, steps, step_fields = set(), [], []
+        any_multi = any_mask = False
         for c in body["clauses"]:
             (ck, cb), = c.items()
             if ck == "span_multi":
@@ -187,15 +200,32 @@ def _rewrite_span(kind: str, body: dict) -> dict:
                 v = v["value"] if isinstance(v, dict) else v
                 fields.add(f)
                 steps.append({"prefix": str(v).lower()})
+                step_fields.append(None)
                 any_multi = True
+                continue
+            if ck == "field_masking_span":
+                (ik, ib), = cb["query"].items()
+                if ik != "span_term":
+                    raise ValueError(
+                        "field_masking_span in span_near supports a span_term inner"
+                    )
+                f_in, ts = _span_terms({ik: ib})
+                fields.add(cb["field"])  # the mask joins the outer field
+                steps.append(ts[0])
+                step_fields.append(f_in)
+                any_mask = True
                 continue
             f, ts = _span_terms(c)
             if len(ts) != 1:
-                raise ValueError("span_near supports span_term/span_multi clauses")
+                raise ValueError(
+                    "span_near supports span_term/span_multi/field_masking_span clauses"
+                )
             fields.add(f)
             steps.append(ts[0])
+            step_fields.append(None)
         if len(fields) != 1:
             raise ValueError("span_near clauses must share one field")
+        outer = fields.pop()
         src = {
             "query": " ".join(t if isinstance(t, str) else t["prefix"] + "*" for t in steps),
             "ordered": bool(body.get("in_order", True)),
@@ -203,7 +233,14 @@ def _rewrite_span(kind: str, body: dict) -> dict:
         }
         if any_multi:
             src["steps"] = steps
-        return {"intervals": {fields.pop(): {"match": src}}}
+        if any_mask:
+            if any_multi:
+                raise ValueError(
+                    "span_near cannot mix span_multi and field_masking_span clauses"
+                )
+            src["steps"] = steps
+            src["fields"] = [sf or outer for sf in step_fields]
+        return {"intervals": {outer: {"match": src}}}
     if kind == "span_first":
         f, ts = _span_terms(body["match"])
         if len(ts) != 1:
@@ -728,17 +765,34 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         if not_terms and not (ordered or m == 1):
             raise ValueError("not_query (span_not) needs ordered or single-term")
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
-    toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
+    # per-step source fields (field_masking_span inside span_near): step i's
+    # positions come from sfields[i]'s token stream; not_query/within_query/
+    # first_end always read the outer field
+    sfields = src.get("fields") or [field] * m
+    if len(sfields) != m:
+        raise ValueError("intervals `fields` must align with the steps")
+    if src.get("fields") and (src.get("within_query") or first_end is not None):
+        raise ValueError("per-step fields support plain ordered/unordered chains")
+    tok_col = {f: ("toks" if f == field else f"toks_{i}")
+               for i, f in enumerate(dict.fromkeys([field, *sfields]))}
+    toks = cand.select(
+        *ctx.key_cols,
+        *[analysis.tokens(f).alias(c) for f, c in tok_col.items()],
+    )
 
-    def positions(t):
+    def positions(t, src_field=field):
         # 0-based token positions of term t (or of any prefix-matching token)
         if isinstance(t, dict):
             tok_ok = lambda tok: tok.startswith(t["prefix"])  # noqa: E731
         else:
             tok_ok = lambda tok: tok == F.lit(t)  # noqa: E731
+        col = tok_col[src_field]
+        # slice keeps the 0..size-1 range well-formed when the token stream
+        # is empty (masked fields like `tool` are often ''): sequence(0, size)
+        # is always non-decreasing, the slice drops the extra element
+        idx = F.slice(F.sequence(F.lit(0), F.size(col)), 1, F.size(col))
         return F.filter(
-            F.sequence(F.lit(0), F.size("toks") - 1),
-            lambda i: tok_ok(F.element_at("toks", (i + 1).cast("int"))),
+            idx, lambda i: tok_ok(F.element_at(col, (i + 1).cast("int")))
         )
 
     def ex_positions():
@@ -779,7 +833,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         return Compiled(scored=scored)
 
     if m == 1:
-        ps = positions(qterms[0])
+        ps = positions(qterms[0], sfields[0])
         if first_end is not None:
             ps = F.filter(ps, lambda p: p < F.lit(int(first_end)))
         if not_terms:
@@ -796,7 +850,9 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             end = p0
             for i in range(1, m):
                 e = end
-                end = F.array_min(F.filter(positions(qterms[i]), lambda p: p > e))
+                end = F.array_min(
+                    F.filter(positions(qterms[i], sfields[i]), lambda p: p > e)
+                )
             return end
 
         def slop_of(p0):
@@ -811,7 +867,8 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             return F.when(ok, end - p0 - (m - 1))
 
         slops = F.filter(
-            F.transform(positions(qterms[0]), slop_of), lambda s: s.isNotNull()
+            F.transform(positions(qterms[0], sfields[0]), slop_of),
+            lambda s: s.isNotNull(),
         )
         min_slop = F.array_min(slops)
         scored = (
@@ -821,7 +878,8 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         )
         return Compiled(scored=scored)
     elif m == 2:
-        pa, pb = positions(qterms[0]), positions(qterms[1])
+        pa = positions(qterms[0], sfields[0])
+        pb = positions(qterms[1], sfields[1])
 
         def best_of(aa):
             cand = F.filter(pb, lambda bb: bb != aa)

@@ -254,6 +254,25 @@ SPAN_QUERIES: dict[str, dict] = {
             "in_order": True,
         }
     },
+    # field_masking_span (FieldMaskingSpanQueryBuilder reg :807): the tool
+    # term's positions (from the tool token stream) are masked as `text`
+    # positions inside a text span_near — ES's documented best-effort
+    # cross-field proximity
+    "span_field_masking": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "merge"}},
+                {
+                    "field_masking_span": {
+                        "query": {"span_term": {"tool": "search"}},
+                        "field": "text",
+                    }
+                },
+            ],
+            "slop": 6,
+            "in_order": False,
+        }
+    },
     "span_within_near": {
         "span_within": {
             "little": {"span_term": {"text": "hash"}},

@@ -16,7 +16,7 @@ from elasticsearch_spark import oracle
 from elasticsearch_spark.plans import query_dsl as Q
 
 KEYS = ["conv_id", "turn_idx"]
-N_QUERIES = 18
+N_QUERIES = 26
 K = 10
 
 
@@ -50,8 +50,37 @@ def duck(sf_dir):
 
 def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
     kind = rng.choice(
-        ["match", "match", "match", "match_phrase", "term", "range", "exists", "prefix"]
+        ["match", "match", "match", "match_phrase", "term", "range", "exists",
+         "prefix", "span_near", "span_first"]
     )
+    if kind == "span_near":
+        # ordered any arity; unordered arity 2 (engine limit); ~1/3 of the
+        # time the last step is a field_masking_span over the tool stream
+        n = rng.randint(2, 3)
+        clauses: list[dict] = [
+            {"span_term": {"text": t}} for t in rng.sample(vocab, n)
+        ]
+        if rng.random() < 0.35:
+            clauses[-1] = {
+                "field_masking_span": {
+                    "query": {"span_term": {"tool": rng.choice(["search", "code", "browser"])}},
+                    "field": "text",
+                }
+            }
+        return {
+            "span_near": {
+                "clauses": clauses,
+                "slop": rng.randint(0, 6),
+                "in_order": True if n > 2 else rng.random() < 0.5,
+            }
+        }
+    if kind == "span_first":
+        return {
+            "span_first": {
+                "match": {"span_term": {"text": rng.choice(vocab)}},
+                "end": rng.randint(1, 6),
+            }
+        }
     if kind == "match":
         terms = rng.sample(vocab, rng.randint(1, 3))
         spec: dict = {"query": " ".join(terms)}

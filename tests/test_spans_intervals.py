@@ -181,3 +181,100 @@ def test_span_within_single_term_big(spark, tiny_store):
         }
     }
     assert _hits(spark, tiny_store, qd2) == []
+
+
+def _masked_near(term, slop, in_order=False, masked=("tool", "search")):
+    mf, mt = masked
+    return {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": term}},
+                {
+                    "field_masking_span": {
+                        "query": {"span_term": {mf: mt}},
+                        "field": "text",
+                    }
+                },
+            ],
+            "slop": slop,
+            "in_order": in_order,
+        }
+    }
+
+
+def test_field_masking_span_unordered(spark, tiny_store):
+    # tool="search" tokenizes to a single token at position 0 for every doc;
+    # the masked step contributes position 0 to the text chain, so an
+    # unordered pair (gamma@p, search@0) matches when p - 1 <= slop and p != 0
+    # (a pair cannot reuse one position). gamma: doc0@2, doc1@4, doc2@4,
+    # doc3@0, doc4@1, doc5@3, doc6@3.
+    assert _hits(spark, tiny_store, _masked_near("gamma", 2)) == [0, 4, 5, 6]
+    assert _hits(spark, tiny_store, _masked_near("gamma", 3)) == [0, 1, 2, 4, 5, 6]
+    # doc3's gamma sits at position 0 == the masked position: no valid pair
+    assert 3 not in _hits(spark, tiny_store, _masked_near("gamma", 100))
+
+
+def test_field_masking_span_ordered(spark, tiny_store):
+    # in_order: masked tool position 0 must precede the text term
+    qd = {
+        "span_near": {
+            "clauses": [
+                {
+                    "field_masking_span": {
+                        "query": {"span_term": {"tool": "search"}},
+                        "field": "text",
+                    }
+                },
+                {"span_term": {"text": "gamma"}},
+            ],
+            "slop": 1,
+            "in_order": True,
+        }
+    }
+    assert _hits(spark, tiny_store, qd) == [0, 4]
+
+
+def test_field_masking_span_scores(spark, tiny_store):
+    # arity-2 chain scores 1/(1 + min slop): doc4 gamma@1 -> slop 0 -> 1.0,
+    # doc0 gamma@2 -> 0.5, doc5/doc6 gamma@3 -> 1/3
+    df, store = tiny_store
+    got = {
+        r.turn_idx: round(r.score, 4)
+        for r in Q.search(df, _masked_near("gamma", 2), KEYS, k=100).collect()
+    }
+    assert got == {4: 1.0, 0: 0.5, 5: round(1 / 3, 4), 6: round(1 / 3, 4)}
+
+
+def test_field_masking_span_top_level_is_inner(spark, tiny_store):
+    # standalone mask == the inner span query (scoring divergence documented)
+    df, store = tiny_store
+    qd = {
+        "field_masking_span": {
+            "query": {"span_term": {"text": "beta"}},
+            "field": "tool",
+        }
+    }
+    inner = {"span_term": {"text": "beta"}}
+    want = [tuple(r) for r in Q.search(df, inner, KEYS, k=100).collect()]
+    got = [tuple(r) for r in Q.search(df, qd, KEYS, k=100).collect()]
+    assert got == want
+
+
+def test_field_masking_span_rejects_multi_mix(spark):
+    qd = {
+        "span_near": {
+            "clauses": [
+                {"span_multi": {"match": {"prefix": {"text": "ga"}}}},
+                {
+                    "field_masking_span": {
+                        "query": {"span_term": {"tool": "search"}},
+                        "field": "text",
+                    }
+                },
+            ],
+            "slop": 2,
+            "in_order": False,
+        }
+    }
+    with pytest.raises(ValueError, match="mix"):
+        Q.normalize_query(qd)
