@@ -127,6 +127,10 @@ class IntervalsLeaf:
     # `field`. Cross-field occurrence-key math is sound because the ordinal
     # occupies the high bits of every field's keys.
     term_fields: list[str] | None = None
+    # span_gap separations (SpanGapQueryBuilder reg SearchModule.java:811):
+    # gaps[i] positions must sit strictly between step i and step i+1; gap
+    # widths consume window, not slop. Ordered chains only.
+    gaps: list[int] | None = None
 
     def step_field(self, i: int) -> str:
         return self.term_fields[i] if self.term_fields else self.field
@@ -789,6 +793,14 @@ class _Lowerer:
                     )
                 if any(isinstance(st, tuple) for st in qterms):
                     raise ValueError("per-step fields cannot combine with span_multi")
+            step_gaps = src.get("gaps")
+            if step_gaps is not None:
+                if len(step_gaps) != max(len(qterms) - 1, 0):
+                    raise ValueError("intervals `gaps` must have one entry per adjacency")
+                if sum(step_gaps) and (
+                    not ordered or within_terms is not None or first_end is not None
+                ):
+                    raise ValueError("gaps (span_gap) need a plain ordered chain")
             return IntervalsLeaf(
                 field=field_,
                 terms=qterms,
@@ -799,6 +811,7 @@ class _Lowerer:
                 within_terms=within_terms,
                 within_gaps=int(src.get("within_gaps", -1)),
                 term_fields=term_fields,
+                gaps=step_gaps,
             )
         raise ValueError(f"indexed path cannot lower: {kind}")
 
@@ -1293,13 +1306,19 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 elif node.ordered:
                     # greedy minimal chain per start: the smallest valid
                     # successor at every step minimizes final width, so a
-                    # failed greedy chain has no valid chain from that start
+                    # failed greedy chain has no valid chain from that start.
+                    # span_gap separations shift each successor search by the
+                    # gap width (positions sit in the key's low bits; gap
+                    # offsets stay far below 2^20 so the add cannot cross an
+                    # ordinal — the high-bits check catches doc boundaries)
+                    g = node.gaps or [0] * (m_ - 1)
+                    g_total = sum(g)
                     start = ks[0]
                     cur = start.copy()
                     alive = np.ones(len(cur), dtype=bool)
                     for i in range(1, m_):
                         arr = ks[i]
-                        idx = np.searchsorted(arr, cur + 1)
+                        idx = np.searchsorted(arr, cur + 1 + g[i - 1])
                         ok = idx < len(arr)
                         cand = arr[np.minimum(idx, len(arr) - 1)]
                         ok &= (cand >> _POS_SHIFT) == (cur >> _POS_SHIFT)
@@ -1307,7 +1326,9 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                         cur = np.where(alive, cand, cur)
                     good = alive
                     if node.max_gaps >= 0:
-                        good = good & ((cur - start - (m_ - 1)) <= node.max_gaps)
+                        good = good & (
+                            (cur - start - (m_ - 1) - g_total) <= node.max_gaps
+                        )
                     if node.not_terms:
                         # span_not over a span_near include: drop chains whose
                         # [start, end] window contains an excluded occurrence.
@@ -1325,7 +1346,7 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     # greedy end is the minimal end from each start, so
                     # cur - start - (m-1) is the per-start minimal slop
                     return _minslop_scores(
-                        start[good], (cur - start - (m_ - 1))[good]
+                        start[good], (cur - start - (m_ - 1) - g_total)[good]
                     )
                 else:  # unordered, pairwise (arity 2 enforced at lowering)
                     a, barr = ks[0], ks[1]

@@ -252,6 +252,13 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     tok_col = {f: ("toks" if f == field else f"toks_{i}")
                for i, f in enumerate(dict.fromkeys([field, *sfields]))}
     t = ", ".join(f"{_toks(f)} AS {c}" for f, c in tok_col.items())
+    # span_gap separations — twin of query_dsl._intervals
+    gaps = src.get("gaps") or [0] * max(m - 1, 0)
+    gap_total = sum(gaps)
+    if len(gaps) != max(m - 1, 0):
+        raise ValueError("intervals `gaps` must have one entry per adjacency")
+    if gap_total and (not ordered or src.get("within_query") or first_end is not None):
+        raise ValueError("gaps (span_gap) need a plain ordered chain")
 
     def pos(term, src_field=field) -> str:
         # 0-based positions (1-based index i over the token list); a
@@ -314,10 +321,13 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         # per-doc score = 1/(1 + min slop) over surviving starts
         end = "p0"
         for i in range(1, m):
-            end = f"list_min(list_filter({pos(qterms[i], sfields[i])}, p -> p > ({end})))"
+            end = (
+                f"list_min(list_filter({pos(qterms[i], sfields[i])}, "
+                f"p -> p > ({end}) + {gaps[i - 1]}))"
+            )
         valid = f"({end}) IS NOT NULL"
         if max_gaps >= 0:
-            valid += f" AND ({end}) - p0 - {m - 1} <= {max_gaps}"
+            valid += f" AND ({end}) - p0 - {m - 1 + gap_total} <= {max_gaps}"
         if not_terms:
             valid += (
                 f" AND len(list_filter({ex_pos()}, "
@@ -325,7 +335,7 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             )
         slops = (
             f"list_filter(list_transform({pos(qterms[0], sfields[0])}, "
-            f"p0 -> CASE WHEN {valid} THEN ({end}) - p0 - {m - 1} END), "
+            f"p0 -> CASE WHEN {valid} THEN ({end}) - p0 - {m - 1 + gap_total} END), "
             f"s -> s IS NOT NULL)"
         )
     elif m == 2:

@@ -119,6 +119,29 @@ def normalize_query(q: dict) -> dict:
         # inside span_near/span_not it would need term-dictionary expansion at
         # position-algebra build time — unsupported (raises in _span_terms).
         return normalize_query(body["match"])
+    if kind == "script_score":
+        # ScriptScoreQueryBuilder (reg SearchModule.java:837): score of the
+        # wrapped query is REPLACED by the script's value. Rewrites onto
+        # function_score boost_mode=replace, so one rewrite covers the
+        # logical path, the indexed lowering, and the oracle. Scripts that
+        # reference _score need the original score in scope — unsupported
+        # (the translator has no _score binding and would mistranslate).
+        src = body["script"]
+        s_src = src["source"] if isinstance(src, dict) else str(src)
+        if "_score" in s_src:
+            raise ValueError("script_score scripts referencing _score unsupported")
+        if "min_score" in body:
+            # fail loudly rather than silently widen the result set
+            raise ValueError("script_score min_score unsupported")
+        return normalize_query(
+            {
+                "function_score": {
+                    "query": body["query"],
+                    "functions": [{"script_score": {"script": src}}],
+                    "boost_mode": "replace",
+                }
+            }
+        )
     if kind == "wrapper":
         # WrapperQueryBuilder.java: base64-encoded JSON query, decoded at
         # rewrite time. One rewrite here covers the logical path, the
@@ -189,9 +212,25 @@ def _rewrite_span(kind: str, body: dict) -> dict:
         # field through the intervals machinery, ES's documented best-effort
         # cross-field proximity)
         fields, steps, step_fields = set(), [], []
+        gaps: list[int] = []  # required separation between adjacent steps
+        pending_gap = 0
         any_multi = any_mask = False
         for c in body["clauses"]:
             (ck, cb), = c.items()
+            if ck == "span_gap":
+                # SpanGapQueryBuilder (reg SearchModule.java:811): a fixed
+                # w-position placeholder between adjacent spans — consumes w
+                # positions of the window without consuming slop; only
+                # meaningful inside an in_order span_near (Lucene SpanGap)
+                (f, w), = cb.items()
+                fields.add(f)
+                if not steps:
+                    raise ValueError("span_gap cannot lead a span_near")
+                pending_gap += int(w)
+                continue
+            if steps:  # close the separation slot before this step
+                gaps.append(pending_gap)
+                pending_gap = 0
             if ck == "span_multi":
                 (mk, mb), = cb["match"].items()
                 if mk != "prefix":
@@ -225,6 +264,8 @@ def _rewrite_span(kind: str, body: dict) -> dict:
             step_fields.append(None)
         if len(fields) != 1:
             raise ValueError("span_near clauses must share one field")
+        if pending_gap:
+            raise ValueError("span_gap cannot trail a span_near")
         outer = fields.pop()
         src = {
             "query": " ".join(t if isinstance(t, str) else t["prefix"] + "*" for t in steps),
@@ -240,6 +281,11 @@ def _rewrite_span(kind: str, body: dict) -> dict:
                 )
             src["steps"] = steps
             src["fields"] = [sf or outer for sf in step_fields]
+        if any(gaps):
+            if not src["ordered"]:
+                raise ValueError("span_gap needs in_order: true")
+            src["steps"] = steps
+            src["gaps"] = gaps
         return {"intervals": {outer: {"match": src}}}
     if kind == "span_first":
         f, ts = _span_terms(body["match"])
@@ -773,6 +819,14 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         raise ValueError("intervals `fields` must align with the steps")
     if src.get("fields") and (src.get("within_query") or first_end is not None):
         raise ValueError("per-step fields support plain ordered/unordered chains")
+    # span_gap separations: gaps[i] positions must sit strictly between step
+    # i and step i+1; gap widths consume window, not slop
+    gaps = src.get("gaps") or [0] * max(m - 1, 0)
+    gap_total = sum(gaps)
+    if len(gaps) != max(m - 1, 0):
+        raise ValueError("intervals `gaps` must have one entry per adjacency")
+    if gap_total and (not ordered or src.get("within_query") or first_end is not None):
+        raise ValueError("gaps (span_gap) need a plain ordered chain")
     tok_col = {f: ("toks" if f == field else f"toks_{i}")
                for i, f in enumerate(dict.fromkeys([field, *sfields]))}
     toks = cand.select(
@@ -850,8 +904,9 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             end = p0
             for i in range(1, m):
                 e = end
+                g = gaps[i - 1]
                 end = F.array_min(
-                    F.filter(positions(qterms[i], sfields[i]), lambda p: p > e)
+                    F.filter(positions(qterms[i], sfields[i]), lambda p: p > e + g)
                 )
             return end
 
@@ -859,12 +914,12 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             end = chain_end(p0)
             ok = end.isNotNull()
             if max_gaps >= 0:
-                ok = ok & (end - p0 - (m - 1) <= F.lit(max_gaps))
+                ok = ok & (end - p0 - (m - 1) - gap_total <= F.lit(max_gaps))
             if not_terms:
                 ok = ok & ~F.exists(
                     ex_positions(), lambda q2: (q2 >= p0) & (q2 <= end)
                 )
-            return F.when(ok, end - p0 - (m - 1))
+            return F.when(ok, end - p0 - (m - 1) - gap_total)
 
         slops = F.filter(
             F.transform(positions(qterms[0], sfields[0]), slop_of),

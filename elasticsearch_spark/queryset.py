@@ -171,6 +171,18 @@ SEARCH_QUERIES: dict[str, dict] = {
             "query": _b64.b64encode(b'{"match": {"text": "spark fast"}}').decode()
         }
     },
+    # standalone script_score query (ScriptScoreQueryBuilder reg :837):
+    # score REPLACED by the script value; rewrites onto function_score
+    # boost_mode=replace in normalize_query
+    "script_score_topk": {
+        "script_score": {
+            "query": {"match": {"text": "vector"}},
+            "script": {
+                "source": "Math.sqrt(1 + doc['turn_idx'].value) * params.f",
+                "params": {"f": 1.5},
+            },
+        }
+    },
     "function_score_painless": {
         "function_score": {
             "query": {"match": {"text": "table"}},
@@ -251,6 +263,19 @@ SPAN_QUERIES: dict[str, dict] = {
                 {"span_multi": {"match": {"prefix": {"text": "ta"}}}},
             ],
             "slop": 3,
+            "in_order": True,
+        }
+    },
+    # span_gap (SpanGapQueryBuilder reg :811): a fixed 1-position placeholder
+    # between the two terms — consumes window, not slop
+    "span_gap_near": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "join"}},
+                {"span_gap": {"text": 1}},
+                {"span_term": {"text": "table"}},
+            ],
+            "slop": 2,
             "in_order": True,
         }
     },

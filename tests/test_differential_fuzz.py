@@ -67,11 +67,15 @@ def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
                     "field": "text",
                 }
             }
+        in_order = True if n > 2 else rng.random() < 0.5
+        if in_order and rng.random() < 0.3:
+            # span_gap between two adjacent steps (ordered chains only)
+            clauses.insert(1, {"span_gap": {"text": rng.randint(1, 2)}})
         return {
             "span_near": {
                 "clauses": clauses,
                 "slop": rng.randint(0, 6),
-                "in_order": True if n > 2 else rng.random() < 0.5,
+                "in_order": in_order,
             }
         }
     if kind == "span_first":
@@ -111,8 +115,22 @@ def _gen_query(rng: random.Random, vocab: list[str], depth: int = 0) -> dict:
     )
     shape = rng.choice(
         ["leaf", "bool", "bool", "dis_max", "constant_score", "boosting",
-         "terms_set", "function_score"]
+         "terms_set", "function_score", "script_score"]
     )
+    if shape == "script_score":
+        return {
+            "script_score": {
+                "query": _gen_leaf(rng, vocab),
+                "script": {
+                    "source": rng.choice(
+                        ["Math.log(2 + doc['turn_idx'].value) * params.w",
+                         "Math.sqrt(1 + doc['turn_idx'].value) * params.w",
+                         "doc['turn_idx'].value + params.w"]
+                    ),
+                    "params": {"w": rng.choice([1, 2.5])},
+                },
+            }
+        }
     if shape == "leaf":
         return _gen_leaf(rng, vocab)
     if shape == "dis_max":

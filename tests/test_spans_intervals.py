@@ -278,3 +278,44 @@ def test_field_masking_span_rejects_multi_mix(spark):
     }
     with pytest.raises(ValueError, match="mix"):
         Q.normalize_query(qd)
+
+
+def _gap_near(terms_and_gaps, slop, in_order=True):
+    clauses = []
+    for x in terms_and_gaps:
+        if isinstance(x, int):
+            clauses.append({"span_gap": {"text": x}})
+        else:
+            clauses.append({"span_term": {"text": x}})
+    return {"span_near": {"clauses": clauses, "slop": slop, "in_order": in_order}}
+
+
+def test_span_gap_consumes_window_not_slop(spark, tiny_store):
+    # alpha .. (gap 1) .. gamma: gamma must sit >= 2 after alpha; the gap
+    # position doesn't count against slop. alpha/gamma per doc:
+    # 0:(0,2) 1:(1,4) 2:(0,4) 4:(0,1)&(2,-) 5:(0,3) 6:(1,3)
+    assert _hits(spark, tiny_store, _gap_near(["alpha", 1, "gamma"], 0)) == [0, 6]
+    assert _hits(spark, tiny_store, _gap_near(["alpha", 1, "gamma"], 1)) == [0, 1, 5, 6]
+    assert _hits(spark, tiny_store, _gap_near(["alpha", 1, "gamma"], 2)) == [0, 1, 2, 5, 6]
+    # doc4: gamma directly after alpha — the required gap cannot fit
+    assert 4 not in _hits(spark, tiny_store, _gap_near(["alpha", 1, "gamma"], 100))
+
+
+def test_span_gap_scores_exclude_gap_width(spark, tiny_store):
+    # doc0 window alpha@0..gamma@2 width 1, gap eats it -> slop 0 -> 1.0;
+    # doc1 width 2 -> slop 1 -> 0.5; doc5 slop 1; doc6 slop 0
+    df, _ = tiny_store
+    got = {
+        r.turn_idx: round(r.score, 4)
+        for r in Q.search(df, _gap_near(["alpha", 1, "gamma"], 3), KEYS, k=100).collect()
+    }
+    assert got == {0: 1.0, 6: 1.0, 1: 0.5, 5: 0.5, 2: round(1 / 3, 4)}
+
+
+def test_span_gap_validations(spark):
+    with pytest.raises(ValueError, match="in_order"):
+        Q.normalize_query(_gap_near(["alpha", 1, "gamma"], 2, in_order=False))
+    with pytest.raises(ValueError, match="lead"):
+        Q.normalize_query(_gap_near([1, "alpha", "gamma"], 2))
+    with pytest.raises(ValueError, match="trail"):
+        Q.normalize_query(_gap_near(["alpha", "gamma", 1], 2))
