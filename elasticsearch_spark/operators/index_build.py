@@ -159,7 +159,11 @@ def _norm_byte_sql(dl: str = "dl") -> str:
 _NORM_BYTE_SQL = _norm_byte_sql("dl")
 
 
-def assign_ordinals(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def assign_ordinals(
+    df: DataFrame,
+    partitions: int | None = None,
+    counts_out: dict[int, int] | None = None,
+) -> DataFrame:
     """Add a dense 0-based `ordinal` in (conv_id, turn_idx) order.
 
     Range-partition + sort once, cache, collect only per-partition COUNTS
@@ -184,6 +188,9 @@ def assign_ordinals(df: DataFrame, partitions: int | None = None) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    if counts_out is not None:
+        # per-partition row counts feed the manifest's lineage/metrics row
+        counts_out.update(counts)
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -341,8 +348,12 @@ def build_segment(
     partitions: int | None = None,
 ) -> SegmentMeta:
     """Build one immutable segment (docs + postings) from a transcripts slice."""
+    import time as _time
+
+    t_start = _time.perf_counter()
     seg_id = store.new_segment_id()
-    docs = assign_ordinals(slice_df, partitions)
+    part_counts: dict[int, int] = {}
+    docs = assign_ordinals(slice_df, partitions, counts_out=part_counts)
     for f in INDEXED_FIELDS:
         # dl NULL (field absent) stays NULL: absent fields contribute no
         # postings and are excluded from the field's sum_dl, mirroring the
@@ -462,7 +473,14 @@ def build_segment(
         sum_dl=field_sum_dl["text"],
         slice_id=slice_id,
         tier_bytes=store.dir_size(seg_id),
-        metrics={"partitions": p, "posting_fields": list(POSTING_FIELDS)},
+        metrics={
+            "partitions": p,
+            "posting_fields": list(POSTING_FIELDS),
+            # per-partition lineage/metrics (north rule): rows each input
+            # partition contributed, in partition-id order, + build wall time
+            "partition_rows": [part_counts[k] for k in sorted(part_counts)],
+            "build_sec": round(_time.perf_counter() - t_start, 3),
+        },
         field_sum_dl=field_sum_dl,
     )
     return meta
