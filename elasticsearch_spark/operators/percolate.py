@@ -83,25 +83,44 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
         # all distinct phrase terms are required; positions verify residually
         return terms, len(terms), True
     if kind == "bool":
-        # sound pruning: any positive-context leaf term is required for a
-        # match (must/filter => all, should contributes when msm forces it);
-        # need=1 keeps extraction simple — the verify pass is exact anyway
-        terms: list[str] = []
-        for clause in ("must", "filter", "should"):
+        # sound pruning (QueryAnalyzer.java extraction): need=1 keeps
+        # extraction simple — the verify pass is exact anyway. Soundness
+        # rules: a required (must/filter) child's terms always prune (every
+        # match satisfies that child); SHOULD terms prune only when the bool
+        # has NO required clauses (then >=1 should clause must match) AND
+        # every should child is extractable — if one isn't, a doc could
+        # match through it alone and would be wrongly pruned.
+        req_terms: list[str] = []
+        had_required = False
+        for clause in ("must", "filter"):
             items = body.get(clause) or []
             for sub in items if isinstance(items, list) else [items]:
+                had_required = True
                 try:
                     ts, _, _ = _query_terms(sub)
                 except ValueError:
-                    continue  # un-extractable child: other clauses may prune
-                terms += ts
-        terms = list(dict.fromkeys(terms))
-        if not terms:
+                    continue  # another required clause may still prune soundly
+                req_terms += ts
+        if had_required:
+            if not req_terms:
+                raise ValueError(
+                    "percolate bool query has no extractable required terms "
+                    "(keyword-only / range-only must clauses are unsupported)"
+                )
+            return list(dict.fromkeys(req_terms)), 1, True
+        sh_terms: list[str] = []
+        items = body.get("should") or []
+        for sub in items if isinstance(items, list) else [items]:
+            # ValueError propagates: an un-extractable should child makes
+            # should-based pruning unsound
+            ts, _, _ = _query_terms(sub)
+            sh_terms += ts
+        if not sh_terms:
             raise ValueError(
                 "percolate bool query has no extractable positive terms "
                 "(pure-negative / keyword-only stored queries are unsupported)"
             )
-        return terms, 1, True
+        return list(dict.fromkeys(sh_terms)), 1, True
     raise ValueError(f"percolate cannot index stored query kind: {kind}")
 
 

@@ -96,6 +96,61 @@ class TestPercolate:
         got = {r.conv_id for r in P.percolate(docs, stored).collect()}
         assert got == {"c1"}
 
+    def test_bool_unextractable_required_raises(self, spark):
+        # a bool whose only required clause cannot contribute pruning terms
+        # must REFUSE, not prune on optional should terms: a doc matching the
+        # required clause alone (should is optional when must is present)
+        # would otherwise be silently dropped
+        docs = spark.createDataFrame(
+            [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
+        )
+        q = {
+            "bool": {
+                "must": [{"range": {"turn_idx": {"gte": 0}}}],
+                "should": [{"match": {"text": "alpha"}}],
+            }
+        }
+        with pytest.raises(ValueError, match="required"):
+            P.percolate(docs, {"q": q})
+
+    def test_bool_pure_should_unextractable_child_raises(self, spark):
+        # pure-should bool: a doc can match through ANY should child, so one
+        # un-extractable child makes term pruning unsound — refuse
+        docs = spark.createDataFrame(
+            [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
+        )
+        q = {
+            "bool": {
+                "should": [
+                    {"match": {"text": "alpha"}},
+                    {"range": {"turn_idx": {"gte": 5}}},
+                ]
+            }
+        }
+        with pytest.raises(ValueError, match="cannot index"):
+            P.percolate(docs, {"q": q})
+
+    def test_bool_mixed_required_prunes_on_required_only(self, spark):
+        # extractable must + range filter + optional should: candidates come
+        # from the must terms; the verify pass applies the range exactly
+        docs = spark.createDataFrame(
+            [
+                ("c1", 3, "join the table"),   # must ok, range ok
+                ("c2", 0, "join the table"),   # must ok, range fails
+                ("c3", 3, "nothing here"),     # must fails
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        q = {
+            "bool": {
+                "must": [{"match": {"text": {"query": "join table", "operator": "and"}}}],
+                "filter": [{"range": {"turn_idx": {"gte": 1}}}],
+                "should": [{"match": {"text": "bonus"}}],
+            }
+        }
+        got = {r.conv_id for r in P.percolate(docs, {"q": q}).collect()}
+        assert got == {"c1"}
+
 
 class TestTemplates:
     def test_string_interpolation(self):
