@@ -540,7 +540,41 @@ SELECT conv_id, turn_idx, role, text || ' [edited]' AS text,
 ORDER BY img, conv_id, turn_idx"""
 
 
+# --- LSM compaction (EsTieredMergePolicy.java:35-51 / MergePolicyConfig):
+# a 3-slice build leaves 3 sub-floor segments in one tier; compact() must
+# merge them, and BM25 over the MERGED store must stay rank- and
+# score-identical to the whole-corpus oracle — what the hash-match certifies.
+_MERGE_QUERY_NAME = "match_and_topk"
+
+
+def fx_merged_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators import index_build, merge, topk
+    from .queryset import SEARCH_QUERIES
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="es_spark_merge_fx_")
+    store = index_build.build_index(spark, docs, root, n_slices=3, partitions=4)
+    n_before = len(store.snapshot().segments)
+    merge.compact(spark, store, partitions=4)
+    n_after = len(store.snapshot().segments)
+    if not (n_before == 3 and n_after < n_before):
+        raise AssertionError(
+            f"compaction fixture is vacuous: {n_before} -> {n_after} segments"
+        )
+    return topk.search_indexed(spark, store, SEARCH_QUERIES[_MERGE_QUERY_NAME], k=10)
+
+
+def _merged_store_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+
+    return oracle.search_sql(SEARCH_QUERIES[_MERGE_QUERY_NAME], 10)
+
+
 MISC_QUERY_FNS = {
+    "merged_store_search": fx_merged_store_search,
     "ingest_pipeline": fx_ingest,
     "update_old_new_source": fx_update_old_new,
     "multi_index_search": fx_multi_index,
@@ -560,6 +594,7 @@ MISC_QUERY_FNS = {
 }
 
 MISC_ORACLE_SQL = {
+    "merged_store_search": _merged_store_oracle(),
     "ingest_pipeline": _INGEST_ORACLE,
     "update_old_new_source": _UPDATE_OLD_NEW_ORACLE,
     "multi_index_search": _multi_index_oracle(),
