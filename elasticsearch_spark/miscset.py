@@ -573,8 +573,54 @@ def _merged_store_oracle() -> str:
     return oracle.search_sql(SEARCH_QUERIES[_MERGE_QUERY_NAME], 10)
 
 
+# --- delete-by-query lifecycle (AbstractAsyncBulkByScrollAction +
+# Lucene liveDocs purge): positional deletes hide docs immediately; the next
+# merge PURGES them and rebuilds postings/stats over the survivors, so a
+# scored query over the compacted store must hash-match a BM25 oracle whose
+# corpus (df, avgdl, N) is the post-delete corpus.
+_DBQ_PRED = "role = 'system'"
+_DBQ_QUERY_NAME = "match_or_topk"
+
+
+def fx_delete_by_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators import index_build, merge, topk, update
+    from .queryset import SEARCH_QUERIES
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="es_spark_dbq_fx_")
+    store = index_build.build_index(spark, docs, root, n_slices=2, partitions=4)
+    n_deleted, _ = update.delete_by_query(spark, store, _DBQ_PRED)
+    merge.compact(spark, store, partitions=4)
+    snap = store.snapshot()
+    if n_deleted == 0 or len(snap.segments) != 1 or snap.delete_files:
+        raise AssertionError(
+            f"delete/merge fixture is vacuous: deleted={n_deleted}, "
+            f"segments={len(snap.segments)}, deletes={len(snap.delete_files)}"
+        )
+    return topk.search_indexed(spark, store, SEARCH_QUERIES[_DBQ_QUERY_NAME], k=10)
+
+
+def _dbq_oracle() -> str:
+    from . import oracle
+    from .queryset import SEARCH_QUERIES
+    from .sources.transcripts import transcripts_view_sql
+
+    sql = oracle.search_sql(SEARCH_QUERIES[_DBQ_QUERY_NAME], 10)
+    filtered_cte = (
+        "WITH transcripts_base AS ("
+        + transcripts_view_sql("documents", "duckdb")
+        + "),\ntranscripts AS (SELECT * FROM transcripts_base "
+        f"WHERE NOT ({_DBQ_PRED}))"
+    )
+    assert oracle.TRANSCRIPTS_CTE in sql
+    return sql.replace(oracle.TRANSCRIPTS_CTE, filtered_cte, 1)
+
+
 MISC_QUERY_FNS = {
     "merged_store_search": fx_merged_store_search,
+    "delete_by_query_search": fx_delete_by_query_search,
     "ingest_pipeline": fx_ingest,
     "update_old_new_source": fx_update_old_new,
     "multi_index_search": fx_multi_index,
@@ -595,6 +641,7 @@ MISC_QUERY_FNS = {
 
 MISC_ORACLE_SQL = {
     "merged_store_search": _merged_store_oracle(),
+    "delete_by_query_search": _dbq_oracle(),
     "ingest_pipeline": _INGEST_ORACLE,
     "update_old_new_source": _UPDATE_OLD_NEW_ORACLE,
     "multi_index_search": _multi_index_oracle(),

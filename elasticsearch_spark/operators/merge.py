@@ -79,10 +79,23 @@ def merge_segments(
     if not commit:
         return meta, None
     new_live = [s for s in snap.segments if s.segment_id not in set(segment_ids)] + [meta]
+    # positional-delete hygiene: the merged segment purged its inputs'
+    # deletes, so a delete file whose rows all target merged-away segments is
+    # dead weight — at scale they'd accumulate forever. Keep only files still
+    # referencing a live segment (small parquet point reads).
+    live_ids = {s.segment_id for s in new_live}
+    kept_dels = []
+    for f in snap.delete_files:
+        segs = {
+            r.segment
+            for r in spark.read.parquet(f).select("segment").distinct().collect()
+        }
+        if segs & live_ids:
+            kept_dels.append(f)
     new_snap = store.commit(
         new_live,
         "merge",
-        delete_files=snap.delete_files,
+        delete_files=kept_dels,
         summary={"merged": sorted(segment_ids), "into": meta.segment_id},
     )
     return meta, new_snap
