@@ -15,7 +15,7 @@ from elasticsearch_spark.functions import analysis
 from elasticsearch_spark.operators import aggs
 from elasticsearch_spark.oracle import TRANSCRIPTS_CTE
 
-N_SPECS = 14
+N_SPECS = 18
 _TOKS = analysis.tokens_sql("text", "duckdb")
 
 METRICS = {
@@ -50,8 +50,29 @@ def _gen_spec(rng: random.Random) -> tuple[dict, str]:
         msel.append(METRICS[kind].format(f="turn_idx") + f" AS m{i}")
     mtail = ("".join(", " + s for s in msel))
 
-    bkind = rng.choice(["terms", "terms", "histogram", "histogram0", "range"])
+    bkind = rng.choice(
+        ["terms", "terms", "histogram", "histogram0", "range", "date_histogram"]
+    )
     name = "b"
+    if bkind == "date_histogram":
+        # hourly calendar buckets, optionally with a cumulative_sum pipeline
+        # over _count (the shard-partial -> final + second-pass window shape)
+        magg = {}
+        body.pop("query", None)
+        where = ""
+        spec = {"date_histogram": {"field": "ts", "calendar_interval": "hour",
+                                   "min_doc_count": 1}}
+        ptail = ""
+        if rng.random() < 0.6:
+            spec = {**spec, "aggs": {"m0": {"cumulative_sum": {"buckets_path": "_count"}}}}
+            ptail = ", cast(sum(doc_count) OVER (ORDER BY b) as bigint) AS m0"
+        body["aggs"] = {name: spec}
+        sql = (
+            f"SELECT b, doc_count{ptail} FROM "
+            f"(SELECT date_trunc('hour', ts) AS b, count(*) AS doc_count "
+            f"FROM transcripts GROUP BY 1)"
+        )
+        return body, TRANSCRIPTS_CTE + "\n" + sql
     if bkind == "terms":
         field = rng.choice(["role", "tool"])
         size = rng.choice([2, 3, 10])
