@@ -91,7 +91,8 @@ def _search_fn(qd: dict) -> Callable[[SparkSession, str], DataFrame]:
 # terms_lookup_filter, rank_feature_sat, wrapper_match,
 # function_score_painless, span_field_masking, span_gap_near,
 # script_score_topk, indexed_script_query_topk, agg_percentile_ranks,
-# agg_global, merged_store_search, delete_by_query_search.
+# agg_global, merged_store_search, delete_by_query_search,
+# intervals_unordered3 (both paths).
 R3_WINDOW = [
     # -- the 28 reg-unverified entries from rounds 1-2
     "agg_date_range", "agg_ip_range",

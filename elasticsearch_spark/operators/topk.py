@@ -97,7 +97,8 @@ class IntervalsLeaf:
     """intervals `match` source / span_near positions algebra
     (IntervalQueryBuilder.java reg SearchModule.java:835,
     SpanNearQueryBuilder.java reg :804): ordered = exists p1<...<pm with
-    pm-p1-(m-1) <= max_gaps; unordered arity <= 2 pairwise. Arity >= 2
+    pm-p1-(m-1) <= max_gaps; unordered arity 2 pairwise, arity >= 3 via a
+    merged-occurrence-stream minimal-covering-window scan. Arity >= 2
     chains score 1/(1 + min slop) — the 1/(1+slop) sloppy saturation over
     the BEST window (IntervalScoreFunction shape); single-term, span_or,
     and within/containing shapes score 1.0. Documented divergence: Lucene
@@ -776,7 +777,22 @@ class _Lowerer:
                 if not 1 <= len(within_terms) <= 2:
                     raise ValueError("within_query big chain supports arity <= 2")
             if len(qterms) > 2 and not ordered:
-                raise ValueError("unordered intervals support arity <= 2")
+                # merged-stream minimal-covering-window kernel: needs plain
+                # distinct single-field terms (tuple steps / masked fields /
+                # duplicate terms would allow position overlap, a different
+                # algebra) and no positional side-constraints
+                if (
+                    any(isinstance(t, tuple) for t in qterms)
+                    or src.get("fields")
+                    or not_terms
+                    or first_end is not None
+                    or within_q
+                    or len(set(qterms)) != len(qterms)
+                ):
+                    raise ValueError(
+                        "unordered intervals with arity > 2 need plain "
+                        "distinct single-field terms"
+                    )
             if first_end is not None and len(qterms) != 1:
                 raise ValueError("first_end (span_first) supports a single term")
             if not_terms and not (ordered or len(qterms) == 1):
@@ -1348,7 +1364,34 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     return _minslop_scores(
                         start[good], (cur - start - (m_ - 1) - g_total)[good]
                     )
-                else:  # unordered, pairwise (arity 2 enforced at lowering)
+                elif m_ > 2:
+                    # unordered arity >= 3 (distinct terms, one field —
+                    # enforced at lowering): merged occurrence stream +
+                    # running last-seen key per label. The minimal covering
+                    # window ending at stream element e is
+                    # [min_i last_i(e), e]; scanning every e finds the
+                    # per-doc global minimum (minimum-window-covering). Keys
+                    # pack (ordinal | pos), so a stale last-seen from an
+                    # earlier doc fails the high-bits equality check.
+                    labels = np.concatenate(
+                        [np.full(len(kk), i, np.int64) for i, kk in enumerate(ks)]
+                    )
+                    allk = np.concatenate(ks)
+                    o = np.argsort(allk, kind="stable")
+                    allk, labels = allk[o], labels[o]
+                    min_last = np.full(len(allk), np.iinfo(np.int64).max)
+                    for i in range(m_):
+                        v = np.where(labels == i, allk, np.int64(-1))
+                        np.maximum.accumulate(v, out=v)
+                        np.minimum(min_last, v, out=min_last)
+                    good = (min_last >= 0) & (
+                        (min_last >> _POS_SHIFT) == (allk >> _POS_SHIFT)
+                    )
+                    slop = allk - min_last - (m_ - 1)
+                    if node.max_gaps >= 0:
+                        good &= slop <= node.max_gaps
+                    return _minslop_scores(allk[good], slop[good])
+                else:  # unordered, pairwise
                     a, barr = ks[0], ks[1]
                     idx = np.searchsorted(barr, a + 1)
                     okr = idx < len(barr)

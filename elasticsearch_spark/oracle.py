@@ -346,7 +346,44 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
             f"b -> b <> a{gapf}), b -> abs(a - b) - 1))), s -> s IS NOT NULL)"
         )
     else:
-        raise ValueError("unordered intervals support arity <= 2")
+        # unordered arity >= 3 — twin of query_dsl._intervals' merged-stream
+        # branch: one row per occurrence, running last-seen position per
+        # label via window max, minimal covering window per doc
+        if (
+            any(isinstance(t_, dict) for t_ in qterms)
+            or src.get("fields")
+            or not_terms
+            or first_end is not None
+            or len(set(map(str, qterms))) != m
+        ):
+            raise ValueError(
+                "unordered intervals with arity > 2 need plain distinct "
+                "single-field terms"
+            )
+        unions = "\n    UNION ALL\n    ".join(
+            f"SELECT conv_id, turn_idx, unnest({pos(qterms[i])}) AS pos, {i} AS label "
+            f"FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)"
+            for i in range(m)
+        )
+        lps = ", ".join(
+            f"max(CASE WHEN label = {i} THEN pos END) OVER "
+            f"(PARTITION BY conv_id, turn_idx ORDER BY pos "
+            f"ROWS UNBOUNDED PRECEDING) AS lp{i}"
+            for i in range(m)
+        )
+        covered = " AND ".join(f"lp{i} IS NOT NULL" for i in range(m))
+        least = "least(" + ", ".join(f"lp{i}" for i in range(m)) + ")"
+        slop_e = f"pos - {least} - {m - 1}"
+        gapf = "" if max_gaps < 0 else f" AND {slop_e} <= {max_gaps}"
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 / (1 + min({slop_e})) AS score
+  FROM (SELECT conv_id, turn_idx, pos, {lps} FROM (
+    {unions}))
+  WHERE {covered}{gapf}
+  GROUP BY conv_id, turn_idx
+)"""
+        return c, a
     if m >= 2:
         # sloppy saturation: score = 1/(1 + minimal interval slop), the
         # IntervalScoreFunction / SloppyPhraseScorer shape over the BEST

@@ -783,8 +783,9 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     minimal interval as a freq and runs it through the field similarity;
     we score the best window only, so doc SETS match and proximity ordering
     matches, absolute scores need not. Ordered matching supports any arity
-    via greedy minimal chains; unordered is the 2-term pairwise form (ES
-    any-order interval), arity > 2 unsupported.
+    via greedy minimal chains; unordered arity 2 is the pairwise form,
+    arity >= 3 the merged-stream minimal-covering-window form (distinct
+    single-field terms).
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -953,7 +954,57 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         )
         return Compiled(scored=scored)
     else:
-        raise ValueError("unordered intervals support arity <= 2")
+        # unordered arity >= 3: merged occurrence stream + running
+        # last-seen position per label (window max); the minimal covering
+        # window ending at each occurrence is [least(last_i), pos], and the
+        # per-doc minimum over stream rows is the global minimal window
+        # (minimum-window-covering). O(total positions), one shuffle —
+        # the naive per-combination form would be O(n^arity) per doc.
+        if (
+            any(isinstance(t, dict) for t in qterms)
+            or src.get("fields")
+            or not_terms
+            or first_end is not None
+            or len(set(map(str, qterms))) != m
+        ):
+            raise ValueError(
+                "unordered intervals with arity > 2 need plain distinct "
+                "single-field terms"
+            )
+        from pyspark.sql.window import Window
+
+        u = None
+        for i, t in enumerate(qterms):
+            e = toks.select(
+                *ctx.key_cols,
+                F.explode(positions(t, sfields[i])).alias("_pos"),
+                F.lit(i).alias("_label"),
+            )
+            u = e if u is None else u.unionByName(e)
+        w = (
+            Window.partitionBy(*ctx.key_cols)
+            .orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lps = [
+            F.max(F.when(F.col("_label") == i, F.col("_pos"))).over(w).alias(f"_lp{i}")
+            for i in range(m)
+        ]
+        ww = u.select(*ctx.key_cols, "_pos", *lps)
+        covered = reduce(
+            lambda x, y: x & y, [F.col(f"_lp{i}").isNotNull() for i in range(m)]
+        )
+        slop = F.col("_pos") - F.least(*[F.col(f"_lp{i}") for i in range(m)]) - (m - 1)
+        valid = covered
+        if max_gaps >= 0:
+            valid = valid & (slop <= F.lit(max_gaps))
+        scored = (
+            ww.where(valid)
+            .groupBy(*ctx.key_cols)
+            .agg(F.min(slop).alias("_ms"))
+            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
+        )
+        return Compiled(scored=scored)
     scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))
     return Compiled(scored=scored)
 

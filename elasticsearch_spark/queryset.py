@@ -210,6 +210,10 @@ INTERVALS_QUERIES: dict[str, dict] = {
     "intervals_unordered": {
         "intervals": {"text": {"match": {"query": "scan filter", "max_gaps": 3}}}
     },
+    # unordered arity 3 — the merged-stream minimal-covering-window form
+    "intervals_unordered3": {
+        "intervals": {"text": {"match": {"query": "join table merge", "max_gaps": 6}}}
+    },
 }
 
 # span family (Span*QueryBuilder.java reg SearchModule.java:803-813), rewritten

@@ -67,7 +67,11 @@ def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
                     "field": "text",
                 }
             }
-        in_order = True if n > 2 else rng.random() < 0.5
+        # unordered arity 3 rides the merged-stream minimal-window kernel,
+        # but only for plain span_term steps (masked steps stay arity 2)
+        in_order = rng.random() < 0.5
+        if n > 2 and not in_order and rng.random() < 0.5:
+            in_order = True
         if in_order and rng.random() < 0.3:
             # span_gap between two adjacent steps (ordered chains only)
             clauses.insert(1, {"span_gap": {"text": rng.randint(1, 2)}})

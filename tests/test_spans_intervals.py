@@ -319,3 +319,58 @@ def test_span_gap_validations(spark):
         Q.normalize_query(_gap_near([1, "alpha", "gamma"], 2))
     with pytest.raises(ValueError, match="trail"):
         Q.normalize_query(_gap_near(["alpha", "gamma", 1], 2))
+
+
+def test_unordered_arity3_minimal_window(spark, tmp_path_factory):
+    # brute-force minimal-covering-window reference on a crafted corpus
+    import datetime
+    import itertools
+
+    texts = {0: "a x b y c", 1: "c b a", 2: "a b", 3: "b x x a q c",
+             4: "c x a b", 5: "a a b c c"}
+    df = spark.createDataFrame(
+        [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
+         for i, t in texts.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("unord3"))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+
+    def brute(text, terms, mg):
+        toks = text.split()
+        pls = [[i for i, tk in enumerate(toks) if tk == t] for t in terms]
+        if any(not p for p in pls):
+            return None
+        best = None
+        for combo in itertools.product(*pls):
+            s = max(combo) - min(combo) - (len(terms) - 1)
+            if 0 <= mg < s:
+                continue
+            best = s if best is None else min(best, s)
+        return best
+
+    for mg in (-1, 0, 1, 2, 4):
+        spec = {"query": "a b c"}
+        if mg >= 0:
+            spec["max_gaps"] = mg
+        qd = {"intervals": {"text": {"match": spec}}}
+        want = {
+            i: round(1.0 / (1 + s), 4)
+            for i, t in texts.items()
+            if (s := brute(t, ["a", "b", "c"], mg)) is not None
+        }
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (mg, want, gl, gi)
+
+
+def test_unordered_arity3_validations(spark, tiny_store):
+    df, _ = tiny_store
+    # duplicate terms in an unordered 3-chain: overlap semantics differ —
+    # refuse on every path
+    dup = {"intervals": {"text": {"match": {"query": "a b a"}}}}
+    with pytest.raises(ValueError, match="distinct"):
+        Q.search(df, dup, KEYS, k=10).collect()
