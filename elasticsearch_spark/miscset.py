@@ -157,6 +157,9 @@ PERCOLATE_QUERIES = {
             "must_not": [{"term": {"text": "customer"}}],
         }
     },
+    # prefix stored query (PrefixQueryBuilder): candidate == match via the
+    # startswith join on distinct tokens
+    "q_prefix": {"prefix": {"text": "wind"}},
 }
 
 
@@ -181,6 +184,11 @@ _PERCOLATE_PHRASE_ARM = (
     f"WHERE turn_idx <= 1 AND len(list_filter(generate_series(1, len({_TOKS}) - 1), "
     f"i -> ({_TOKS})[i] = 'spark' AND ({_TOKS})[i + 1] = 'query')) > 0"
 )
+_PERCOLATE_PREFIX_ARM = (
+    "SELECT conv_id, turn_idx, 'q_prefix' AS query_id FROM transcripts "
+    f"WHERE turn_idx <= 1 AND len(list_filter(list_distinct({_TOKS}), "
+    "t -> starts_with(t, 'wind'))) > 0"
+)
 _PERCOLATE_BOOL_ARM = (
     "SELECT conv_id, turn_idx, 'q_bool' AS query_id FROM transcripts "
     f"WHERE turn_idx <= 1 AND list_contains(list_distinct({_TOKS}), 'join') "
@@ -199,6 +207,7 @@ _PERCOLATE_ORACLE = (
             _percolate_arm("q_term", ["customer"], 1),
             _PERCOLATE_PHRASE_ARM,
             _PERCOLATE_BOOL_ARM,
+            _PERCOLATE_PREFIX_ARM,
         ]
     )
     + "\n) ORDER BY conv_id, turn_idx, query_id"

@@ -12,8 +12,9 @@ loop, no per-doc memory index. At 100 TB both sides partition by term and the
 query side is broadcast when small (the common case: queries are curated).
 
 Supported stored-query shapes (the percolator's core use): match with
-operator or/and and minimum_should_match, and term/terms on the analyzed
-field — answered by the term join alone — plus match_phrase and bool
+operator or/and and minimum_should_match, term/terms, and prefix on the
+analyzed field — answered by the term/startswith joins alone — plus
+match_phrase and bool
 compounds via the SAME two-phase design ES uses (PercolateQuery's
 candidate-then-verify, QueryAnalyzer.java extraction): the term join
 produces candidates from the query's positive terms, then a residual verify
@@ -134,9 +135,23 @@ def percolate(
     key_cols = key_cols or ["conv_id", "turn_idx"]
     spark = docs.sparkSession
     rows = []
+    prefix_rows = []
     residual_ids = []
     for qid in sorted(stored_queries):
-        terms, need, residual = _query_terms(stored_queries[qid])
+        q = stored_queries[qid]
+        (qk, qb), = q.items()
+        if qk == "prefix":
+            # PrefixQueryBuilder over the analyzed field: a doc matches iff
+            # any token carries the prefix — the candidate test IS the query
+            # (MultiTermQuery term enumeration, here a startswith join on
+            # the exploded distinct tokens; query side broadcast)
+            (field, v), = qb.items()
+            if field != text_col:
+                raise ValueError("percolate supports the analyzed `text` field")
+            v = v["value"] if isinstance(v, dict) else v
+            prefix_rows.append((qid, str(v).lower()))
+            continue
+        terms, need, residual = _query_terms(q)
         if not terms:
             continue  # zero-term query matches nothing (zero_terms NONE)
         if residual:
@@ -154,6 +169,14 @@ def percolate(
         .where(F.col("_m") >= F.col("_need"))
         .select(*key_cols, "query_id")
     )
+    if prefix_rows:
+        pq = spark.createDataFrame(prefix_rows, "query_id string, prefix string")
+        pcand = (
+            doc_terms.join(F.broadcast(pq), F.col("term").startswith(F.col("prefix")))
+            .select(*key_cols, "query_id")
+            .distinct()
+        )
+        cand = cand.unionByName(pcand)
     if residual_ids:
         # verify pass (PercolateQuery's verified matches): re-evaluate each
         # residual query exactly, over ONLY its candidate docs (semi-join

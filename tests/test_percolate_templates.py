@@ -57,7 +57,7 @@ class TestPercolate:
             [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
         )
         with pytest.raises(ValueError, match="cannot index"):
-            P.percolate(docs, {"q": {"prefix": {"text": "ab"}}})
+            P.percolate(docs, {"q": {"wildcard": {"text": "a*b"}}})
         # pure-negative bool: no extractable positive terms
         with pytest.raises(ValueError, match="no extractable"):
             P.percolate(docs, {"q": {"bool": {"must_not": [{"term": {"text": "x"}}]}}})
@@ -176,3 +176,22 @@ class TestTemplates:
     def test_missing_param_raises(self):
         with pytest.raises(KeyError, match="missing template param"):
             render_template({"match": {"text": "{{q}}"}}, {})
+
+
+class TestPercolatePrefix:
+    def test_prefix_stored_query(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", 0, "querying the index"),   # token with prefix "quer"
+                ("c2", 0, "quick brown fox"),       # "qu" yes, "quer" no
+                ("c3", 0, "nothing here"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {
+            "p1": {"prefix": {"text": "quer"}},
+            "p2": {"prefix": {"text": {"value": "qu"}}},
+            "m1": {"match": {"text": "fox"}},
+        }
+        got = {(r.conv_id, r.query_id) for r in P.percolate(docs, stored).collect()}
+        assert got == {("c1", "p1"), ("c1", "p2"), ("c2", "p2"), ("c2", "m1")}
