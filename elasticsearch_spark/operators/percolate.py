@@ -12,8 +12,8 @@ loop, no per-doc memory index. At 100 TB both sides partition by term and the
 query side is broadcast when small (the common case: queries are curated).
 
 Supported stored-query shapes (the percolator's core use): match with
-operator or/and and minimum_should_match, term/terms, and prefix on the
-analyzed field — answered by the term/startswith joins alone — plus
+operator or/and and minimum_should_match, term/terms, prefix, and wildcard on the
+analyzed field — answered by the term/startswith/rlike joins alone — plus
 match_phrase and bool
 compounds via the SAME two-phase design ES uses (PercolateQuery's
 candidate-then-verify, QueryAnalyzer.java extraction): the term join
@@ -136,20 +136,29 @@ def percolate(
     spark = docs.sparkSession
     rows = []
     prefix_rows = []
+    pattern_rows = []
     residual_ids = []
     for qid in sorted(stored_queries):
         q = stored_queries[qid]
         (qk, qb), = q.items()
-        if qk == "prefix":
-            # PrefixQueryBuilder over the analyzed field: a doc matches iff
-            # any token carries the prefix — the candidate test IS the query
-            # (MultiTermQuery term enumeration, here a startswith join on
-            # the exploded distinct tokens; query side broadcast)
+        if qk in ("prefix", "wildcard"):
+            # PrefixQueryBuilder / WildcardQueryBuilder over the analyzed
+            # field: a doc matches iff any token matches the pattern — the
+            # candidate test IS the query (MultiTermQuery term enumeration,
+            # here a startswith/rlike join on the exploded distinct tokens;
+            # query side broadcast)
             (field, v), = qb.items()
             if field != text_col:
                 raise ValueError("percolate supports the analyzed `text` field")
             v = v["value"] if isinstance(v, dict) else v
-            prefix_rows.append((qid, str(v).lower()))
+            v = str(v).lower()
+            if qk == "wildcard":
+                # same translation the engine + oracle use (topk.expand_terms)
+                pattern_rows.append(
+                    (qid, "^" + v.replace("*", ".*").replace("?", ".") + "$")
+                )
+            else:
+                prefix_rows.append((qid, v))
             continue
         terms, need, residual = _query_terms(q)
         if not terms:
@@ -177,6 +186,14 @@ def percolate(
             .distinct()
         )
         cand = cand.unionByName(pcand)
+    if pattern_rows:
+        wq = spark.createDataFrame(pattern_rows, "query_id string, pattern string")
+        wcand = (
+            doc_terms.join(F.broadcast(wq), F.expr("term rlike pattern"))
+            .select(*key_cols, "query_id")
+            .distinct()
+        )
+        cand = cand.unionByName(wcand)
     if residual_ids:
         # verify pass (PercolateQuery's verified matches): re-evaluate each
         # residual query exactly, over ONLY its candidate docs (semi-join

@@ -57,7 +57,7 @@ class TestPercolate:
             [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
         )
         with pytest.raises(ValueError, match="cannot index"):
-            P.percolate(docs, {"q": {"wildcard": {"text": "a*b"}}})
+            P.percolate(docs, {"q": {"fuzzy": {"text": "abx"}}})
         # pure-negative bool: no extractable positive terms
         with pytest.raises(ValueError, match="no extractable"):
             P.percolate(docs, {"q": {"bool": {"must_not": [{"term": {"text": "x"}}]}}})
@@ -195,3 +195,19 @@ class TestPercolatePrefix:
         }
         got = {(r.conv_id, r.query_id) for r in P.percolate(docs, stored).collect()}
         assert got == {("c1", "p1"), ("c1", "p2"), ("c2", "p2"), ("c2", "m1")}
+
+    def test_wildcard_stored_query(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("c1", 0, "querying the index"),
+                ("c2", 0, "quick brown fox"),
+                ("c3", 0, "quiet query"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        stored = {
+            "w1": {"wildcard": {"text": "qu*ing"}},   # querying
+            "w2": {"wildcard": {"text": "qui?t"}},    # quiet
+        }
+        got = {(r.conv_id, r.query_id) for r in P.percolate(docs, stored).collect()}
+        assert got == {("c1", "w1"), ("c3", "w2")}
