@@ -80,52 +80,25 @@ def _search_fn(qd: dict) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver's correctness gate scores queries in insertion order with a
-# ~50-row budget per round (r01/r02 each recorded exactly the first 50).
-# Rounds 1+2 banked 100 green rows; this window fronts (a) the 28 entries
-# that had never had a driver row after r2 (VERDICT r2 "What's missing" #1)
-# and (b) the new round-3 fixtures. Everything else re-registers after the
+# ~50-row budget per round (r01-r03 each recorded exactly the first 50).
+# Rounds 1-3 banked 150 green rows (zero failures ever); this window fronts
+# the 21 entries that have never had a driver row (round-3 VERDICT "do this"
+# #1), then the new round-4 fixtures. Everything else re-registers after the
 # window — the union of rounds covers every entry.
-#
-# ROUND-4 WINDOW PLAN: 13 fixtures registered after this window was frozen
-# still have no driver row — front these next round: search_/indexed_
-# terms_lookup_filter, rank_feature_sat, wrapper_match,
-# function_score_painless, span_field_masking, span_gap_near,
-# script_score_topk, indexed_script_query_topk, agg_percentile_ranks,
-# agg_global, merged_store_search, delete_by_query_search,
-# intervals_unordered3 (both paths).
-R3_WINDOW = [
-    # -- the 28 reg-unverified entries from rounds 1-2
-    "agg_date_range", "agg_ip_range",
-    "indexed_intervals_ordered", "search_intervals_unordered",
-    "indexed_intervals_unordered",
-    "search_span_near_ordered", "indexed_span_near_ordered",
-    "search_span_first", "indexed_span_first",
-    "search_span_not", "indexed_span_not",
-    "search_span_or_terms", "indexed_span_or_terms",
-    "search_span_multi_prefix", "indexed_span_multi_prefix",
-    "search_span_within_near", "indexed_span_within_near",
-    "search_span_containing_near", "indexed_span_containing_near",
-    "hand_match_and",
-    "search_regexp_topk", "search_exists_topk", "search_fuzzy_topk",
-    "search_simple_query_string_topk",
-    "agg_rare_terms", "agg_adjacency_matrix", "agg_scripted_metric",
-    "agg_diversified_sampler",
-    # -- new round-3 fixtures: the fork's signature update feature (VERDICT
-    # #2), sloppy match_phrase on both paths (#4), orphan aggs (#7)
-    "update_old_new_source",
-    "search_match_phrase_slop_topk", "indexed_match_phrase_slop_topk",
-    "agg_missing", "agg_serial_diff", "agg_stats_bucket", "agg_bucket_sort",
-    "agg_sampler", "agg_significant_text",
-    # -- round-3 additions: pytest-only surfaces promoted to driver fixtures
-    "multi_index_search", "cursor_scroll_pages", "cursor_sliced_scroll",
-    "cursor_from_size", "suggest_phrase", "rank_eval_match",
-    "search_span_near_multi", "indexed_span_near_multi",
-    # -- parent-join family (modules/parent-join), new round 3: logical path
-    "search_has_child_sum", "search_has_child_min_max",
-    "search_has_parent_score", "search_parent_id_children",
-    # -- Painless expression subset (slot 50); its function_score twin and
-    # the indexed_ twins register after the window for the round-4 budget
-    "search_script_query_topk",
+R4_WINDOW = [
+    # -- the 21 entries registered after r3's window froze (never checked)
+    "search_terms_lookup_filter", "indexed_terms_lookup_filter",
+    "search_rank_feature_sat", "indexed_rank_feature_sat",
+    "search_wrapper_match", "indexed_wrapper_match",
+    "search_script_score_topk", "indexed_script_score_topk",
+    "search_function_score_painless", "indexed_function_score_painless",
+    "search_span_gap_near", "indexed_span_gap_near",
+    "search_span_field_masking", "indexed_span_field_masking",
+    "search_intervals_unordered3", "indexed_intervals_unordered3",
+    "indexed_script_query_topk",
+    "agg_percentile_ranks", "agg_global",
+    "merged_store_search", "delete_by_query_search",
+    # -- new round-4 fixtures appended below as they land
 ]
 
 
@@ -199,7 +172,7 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _full_registry()
-    out = {name: full.pop(name) for name in R3_WINDOW}
+    out = {name: full.pop(name) for name in R4_WINDOW}
     out.update(full)
     return out
 

@@ -109,11 +109,33 @@ def _build(spark: SparkSession, n_turns: int, root: str, partitions: int):
     return store, time.perf_counter() - t0
 
 
-# this sandbox VM's throughput swings 2-5x minute-to-minute with host
-# contention (documented in BENCH.md §2); best-of-N is the only way a
-# per-round bench reflects the code rather than the neighbor's workload
+# this sandbox VM's throughput swings 2-6x minute-to-minute with host
+# contention (documented in BENCH.md §2; round-3 recorded 37.9s vs 6.1s for
+# IDENTICAL code in different windows). Two defenses: best-of-N trials, and a
+# host-calibration microbench recorded in the output JSON so the artifact is
+# self-interpreting — a build number whose calibration is out-of-band is
+# host noise, not code.
 BUILD_TRIALS = int(os.environ.get("SPARK_GRAFT_BUILD_TRIALS", "2"))
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+MAX_BUILD_TRIALS = int(os.environ.get("SPARK_GRAFT_MAX_BUILD_TRIALS", "5"))
+CALIB_BAND = float(os.environ.get("SPARK_GRAFT_CALIB_BAND", "1.35"))
+
+
+def _calibrate() -> float:
+    """Fixed-size host-health probe (~1-2s healthy): one deterministic numpy
+    sort (CPU + memory bandwidth) plus a first-touch page-fault sweep (the
+    mmap-fault cliff BENCH.md §2 documents). Returns wall seconds; a degraded
+    window inflates this by the same factor it inflates the Spark build."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    arr = rng.random(12_000_000)
+    t0 = time.perf_counter()
+    np.sort(arr)
+    buf = np.zeros(64_000_000, dtype=np.uint8)  # 64MB first-touch sweep
+    buf[::4096] = 1
+    del buf
+    return time.perf_counter() - t0
 
 
 def run_default() -> dict:
@@ -125,14 +147,39 @@ def run_default() -> dict:
     root = tempfile.mkdtemp(prefix="es_bench_idx_")
     try:
         _warmup(spark)
-        store, build_s = _build(spark, n_turns, root, cpus)
-        for _ in range(BUILD_TRIALS - 1):
-            r2 = tempfile.mkdtemp(prefix="es_bench_idx_")
+        # calibrated build trials: pair every timed build with a host probe;
+        # keep trying (up to MAX_BUILD_TRIALS) until at least one trial ran in
+        # a window whose calibration is within CALIB_BAND of the best probe
+        # seen — so a degraded-host artifact is visibly degraded, not ambiguous
+        trials: list[dict] = []
+        store = None
+        for i in range(MAX_BUILD_TRIALS):
+            calib = _calibrate()
+            r_i = root if store is None else tempfile.mkdtemp(prefix="es_bench_idx_")
             try:
-                _, s2 = _build(spark, n_turns, r2, cpus)
+                st, s_i = _build(spark, n_turns, r_i, cpus)
             finally:
-                shutil.rmtree(r2, ignore_errors=True)
-            build_s = min(build_s, s2)
+                if store is not None:
+                    shutil.rmtree(r_i, ignore_errors=True)
+            if store is None:
+                store = st
+            trials.append({"calib_sec": round(calib, 3), "build_sec": round(s_i, 3)})
+            calibs = [t["calib_sec"] for t in trials]
+            stable = max(calibs) <= CALIB_BAND * min(calibs)
+            if i + 1 >= BUILD_TRIALS and stable:
+                break  # enough trials, all in one host regime
+            time.sleep(2.0)  # let a transient contention window pass
+        best_calib = min(t["calib_sec"] for t in trials)
+        in_band = [t for t in trials if t["calib_sec"] <= CALIB_BAND * best_calib]
+        build_s = min(t["build_sec"] for t in in_band)
+        calibration = {
+            "probe": "numpy sort 12M f64 + 64MB first-touch sweep",
+            "band": CALIB_BAND,
+            "best_calib_sec": best_calib,
+            "calib_spread": round(max(c["calib_sec"] for c in trials) / best_calib, 2),
+            "trials": trials,
+            "build_from_in_band_trials": len(in_band),
+        }
         q_times: dict[str, float] = {}
         for name in BENCH_QUERY_NAMES:
             qd = SEARCH_QUERIES[name]
@@ -143,6 +190,7 @@ def run_default() -> dict:
                 topk.search_indexed(spark, store, qd, k=DEFAULT_K).collect()
                 best = min(best, time.perf_counter() - t0)
             q_times[name] = round(best, 4)
+        calibration["query_window_calib_sec"] = round(_calibrate(), 3)
         lat = sorted(q_times.values())
         p50 = lat[len(lat) // 2]
         total = round(build_s + sum(q_times.values()), 3)
@@ -156,6 +204,7 @@ def run_default() -> dict:
             "build_sec": round(build_s, 3),
             "indexed_turns_per_sec": round(n_turns / build_s, 1),
             "query_p50_sec": round(p50, 4),
+            "calibration": calibration,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
