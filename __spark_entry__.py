@@ -99,6 +99,10 @@ R4_WINDOW = [
     "agg_percentile_ranks", "agg_global",
     "merged_store_search", "delete_by_query_search",
     # -- new round-4 fixtures appended below as they land
+    # docs-only numeric range answered from the dv block index (BKD analog)
+    "search_range_turn_idx_topk", "indexed_range_turn_idx_topk",
+    # Painless update context: ctx._source/if-else/noop -> MERGE SET exprs
+    "update_by_query_script",
 ]
 
 

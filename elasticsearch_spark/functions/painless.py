@@ -66,7 +66,7 @@ def _lit(v) -> str:
     raise ValueError(f"unsupported params value type: {type(v).__name__}")
 
 
-def _tokenize(source: str, params: dict) -> list[str]:
+def _tokenize(source: str, params: dict, field_sql=None) -> list[str]:
     out: list[str] = []
     pos = 0
     while pos < len(source):
@@ -79,7 +79,11 @@ def _tokenize(source: str, params: dict) -> list[str]:
             )
         pos = m.end()
         if m.group("doc"):
-            out.append(m.group("doc"))
+            name = m.group("doc")
+            # update-context resolver: a field read sees the value as of the
+            # PRIOR statement (Painless executes sequentially), so the caller
+            # substitutes the accumulated SQL for already-assigned fields
+            out.append(f"( {field_sql(name)} )" if field_sql else name)
         elif m.group("pdot") or m.group("pidx"):
             name = m.group("pdot") or m.group("pidx")
             if name not in params:
@@ -106,9 +110,28 @@ def _tokenize(source: str, params: dict) -> list[str]:
     return out
 
 
+def _fix_concat(tokens: list[str]) -> list[str]:
+    """Painless `+` concatenates when an operand is a String; SQL needs `||`.
+    Without a type system we rewrite exactly the statically-visible case — a
+    `+` adjacent to a string literal (covers field + 'lit', params-bound
+    strings, and chained concats). A string-typed `+` between two non-literal
+    operands stays `+` and fails loudly at analysis time."""
+    return [
+        "||"
+        if t == "+"
+        and (
+            (i > 0 and tokens[i - 1].startswith("'"))
+            or (i + 1 < len(tokens) and tokens[i + 1].startswith("'"))
+        )
+        else t
+        for i, t in enumerate(tokens)
+    ]
+
+
 def _render(tokens: list[str]) -> str:
     """Join tokens, rewriting top-level ternaries (right-associative) to
     CASE WHEN. Recurses into parenthesized groups."""
+    tokens = _fix_concat(tokens)
     # find a '?' at paren depth 0; its matching ':' accounts for nested ?:
     depth = 0
     for i, t in enumerate(tokens):
@@ -166,6 +189,155 @@ def _render(tokens: list[str]) -> str:
 def translate(source: str, params: dict | None = None) -> str:
     """Painless expression -> one SQL string (valid Spark SQL AND DuckDB)."""
     return _render(_tokenize(source, params or {}))
+
+
+# ---------------------------------------------------------------- update ctx
+# The reference runs update scripts against a mutable ctx map
+# (UpdateHelper.java:126-145 executeScript; ctx._source field writes, ctx.op =
+# 'noop' to skip the update). The Spark analog compiles the STATEMENT subset
+#
+#   ctx._source.f = <expr>;        (also += -= *= /=)
+#   if (<expr>) { <stmts> } [else { <stmts> }]
+#   ctx.op = 'noop';               (conditionally skip the update)
+#
+# into per-column SQL SET expressions over the old row plus a noop predicate,
+# evaluated once per matched doc by update_by_query's MERGE — the expression
+# translator above does every <expr>, with ctx._source.f reads resolved to the
+# value as of the prior statement (Painless sequential semantics).
+_ASSIGN = re.compile(
+    r"\s*ctx\._source\.(?P<f>[A-Za-z_]\w*)\s*(?P<op>[-+*/]?=)(?!=)"
+)
+_NOOP = re.compile(r"\s*ctx\.op\s*=\s*(?P<q>['\"])noop(?P=q)\s*")
+_IF = re.compile(r"\s*if\s*\(")
+_ELSE = re.compile(r"\s*else\s*\{")
+
+
+def _find_close(s: str, i: int, open_c: str, close_c: str) -> int:
+    """Index of the close char matching s[i] == open_c (skips '...' strings)."""
+    depth = 0
+    in_str = False
+    for j in range(i, len(s)):
+        c = s[j]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == open_c:
+            depth += 1
+        elif c == close_c:
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced {open_c}{close_c} in update script")
+
+
+def compile_update(source: str, params: dict | None = None):
+    """Update-context Painless subset -> (set_exprs, noop_cond).
+
+    set_exprs: {column: SQL over the OLD row} for every assigned field;
+    noop_cond: SQL predicate (over the old row) selecting docs the script
+    no-ops, or None. Raises ValueError outside the subset (round-3 policy:
+    fail loudly, never silently drop semantics)."""
+    params = params or {}
+    env: dict[str, str] = {}
+    noops: list[str] = []  # guard SQL per ctx.op='noop' site ('TRUE' = always)
+
+    def field_sql(name: str) -> str:
+        return env.get(name, name)
+
+    def expr_sql(e: str) -> str:
+        # ctx._source.f inside expressions reads like doc['f'].value
+        e = re.sub(r"ctx\._source\.([A-Za-z_]\w*)", r"doc['\1'].value", e)
+        return _render(_tokenize(e, params, field_sql=field_sql))
+
+    def stmt_end(s: str, i: int) -> int:
+        """Index just past the statement starting at i (terminated by ';' at
+        paren depth 0, or end of block)."""
+        depth = 0
+        in_str = False
+        for j in range(i, len(s)):
+            c = s[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c == ";":
+                return j
+        return len(s)
+
+    def parse(s: str, i: int, guard: str | None) -> int:
+        while i < len(s):
+            while i < len(s) and s[i] in " \t\r\n;":
+                i += 1
+            if i >= len(s) or s[i] == "}":
+                return i
+            m = _IF.match(s, i)
+            if m:
+                op = m.end() - 1  # the '('
+                cp = _find_close(s, op, "(", ")")
+                cond = expr_sql(s[op + 1 : cp])
+                g2 = f"({guard}) AND ({cond})" if guard else f"({cond})"
+                j = cp + 1
+                while j < len(s) and s[j] in " \t\r\n":
+                    j += 1
+                if j >= len(s) or s[j] != "{":
+                    raise ValueError("if body must be a { } block")
+                bp = _find_close(s, j, "{", "}")
+                parse(s[:bp], j + 1, g2)
+                i = bp + 1
+                me = _ELSE.match(s, i)
+                if me:
+                    neg = f"({guard}) AND NOT ({cond})" if guard else f"NOT ({cond})"
+                    ep = _find_close(s, me.end() - 1, "{", "}")
+                    parse(s[:ep], me.end(), neg)
+                    i = ep + 1
+                continue
+            m = _NOOP.match(s, i)
+            if m:
+                noops.append(guard or "TRUE")
+                i = stmt_end(s, m.end()) + 1
+                continue
+            m = _ASSIGN.match(s, i)
+            if m:
+                f, op = m.group("f"), m.group("op")
+                end = stmt_end(s, m.end())
+                rhs = expr_sql(s[m.end() : end])
+                if op != "=":
+                    rhs = f"( {field_sql(f)} ) {op[0]} ( {rhs} )"
+                if guard:
+                    env[f] = f"CASE WHEN {guard} THEN {rhs} ELSE {field_sql(f)} END"
+                else:
+                    env[f] = rhs
+                i = end + 1
+                continue
+            raise ValueError(
+                f"update script subset cannot parse at offset {i}: {s[i:i+30]!r}"
+            )
+        return i
+
+    parse(source, 0, None)
+    if not env and not noops:
+        raise ValueError("update script assigns nothing")
+    noop_cond = None
+    if noops:
+        noop_cond = "TRUE" if "TRUE" in noops else "(" + ") OR (".join(noops) + ")"
+    return env, noop_cond
+
+
+def update_script_sql(script) -> tuple[dict[str, str], str | None]:
+    """An ES update script value (dict or str) -> (set_exprs, noop_cond)."""
+    if isinstance(script, dict):
+        lang = script.get("lang", "painless")
+        if lang not in ("painless",):
+            raise ValueError(f"update script lang {lang!r} unsupported")
+        return compile_update(script["source"], script.get("params"))
+    if isinstance(script, str):
+        return compile_update(script)
+    raise ValueError(f"unsupported update script value: {script!r}")
 
 
 def script_sql(script) -> str:

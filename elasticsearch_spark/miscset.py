@@ -549,6 +549,59 @@ SELECT conv_id, turn_idx, role, text || ' [edited]' AS text,
 ORDER BY img, conv_id, turn_idx"""
 
 
+# --- Painless update context (UpdateHelper.java:126-145 executeScript):
+# ctx._source assignments, if/else, params, and ctx.op='noop' compiled to SQL
+# SET expressions + a noop predicate (functions/painless.compile_update). The
+# oracle is HAND-WRITTEN DuckDB (not generated from the script), so the
+# translator itself is under test.
+_UBQS_SCRIPT = {
+    "source": (
+        "if (ctx._source.role == 'system') { ctx.op = 'noop'; } "
+        "ctx._source.tool = params.mark; "
+        "if (ctx._source.turn_idx >= params.hi) "
+        "{ ctx._source.text = ctx._source.text + ' [late]'; } "
+        "else { ctx._source.text = ctx._source.text + ' [early]'; }"
+    ),
+    "params": {"mark": "scripted", "hi": 10},
+    "lang": "painless",
+}
+_UBQS_PRED = "turn_idx % 5 = 2"
+
+
+def fx_update_by_query_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators import index_build, update
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="es_spark_ubqs_")
+    store = index_build.build_index(spark, docs, root, n_slices=1, partitions=4)
+    res = update.update_by_query(
+        spark,
+        store,
+        _UBQS_PRED,
+        script=_UBQS_SCRIPT,
+        req_old_source=["role", "text", "tool"],
+        req_new_source=["role", "text", "tool"],
+    )
+    old = res.old_source.withColumn("img", F.lit("old"))
+    new = res.new_source.withColumn("img", F.lit("new"))
+    return old.unionByName(new).orderBy("img", "conv_id", "turn_idx")
+
+
+_UBQS_ORACLE = f"""{TRANSCRIPTS_CTE},
+sel AS (SELECT conv_id, turn_idx, role, text, tool FROM transcripts
+        WHERE ({_UBQS_PRED}) AND NOT (role = 'system')
+        ORDER BY conv_id, turn_idx LIMIT 10)
+SELECT conv_id, turn_idx, role, text, tool, 'old' AS img FROM sel
+UNION ALL
+SELECT conv_id, turn_idx, role,
+       text || (CASE WHEN turn_idx >= 10 THEN ' [late]' ELSE ' [early]' END)
+         AS text,
+       'scripted' AS tool, 'new' AS img FROM sel
+ORDER BY img, conv_id, turn_idx"""
+
+
 # --- LSM compaction (EsTieredMergePolicy.java:35-51 / MergePolicyConfig):
 # a 3-slice build leaves 3 sub-floor segments in one tier; compact() must
 # merge them, and BM25 over the MERGED store must stay rank- and
@@ -632,6 +685,7 @@ MISC_QUERY_FNS = {
     "delete_by_query_search": fx_delete_by_query_search,
     "ingest_pipeline": fx_ingest,
     "update_old_new_source": fx_update_old_new,
+    "update_by_query_script": fx_update_by_query_script,
     "multi_index_search": fx_multi_index,
     "cursor_scroll_pages": fx_scroll_pages,
     "cursor_sliced_scroll": fx_sliced_scroll,
@@ -653,6 +707,7 @@ MISC_ORACLE_SQL = {
     "delete_by_query_search": _dbq_oracle(),
     "ingest_pipeline": _INGEST_ORACLE,
     "update_old_new_source": _UPDATE_OLD_NEW_ORACLE,
+    "update_by_query_script": _UBQS_ORACLE,
     "multi_index_search": _multi_index_oracle(),
     "cursor_scroll_pages": _SCROLL_ORACLE,
     "cursor_sliced_scroll": _SLICED_SCROLL_ORACLE,

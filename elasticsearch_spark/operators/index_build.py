@@ -79,6 +79,18 @@ DOC_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 # secondary match/multi_match-able field.
 INDEXED_FIELDS = ["text", "tool"]
 
+# numeric doc-value block index (Lucene BKD points analog,
+# index/mapper/NumberFieldMapper.java — ES answers numeric ranges from the
+# points tree, not doc values): per segment, distinct (col, val, bk) rows
+# sorted by (col, val). A docs-only range query reads this with the range
+# pushed into the parquet scan (value-sorted files => row-group pruning) and
+# prunes the docs scan to the candidate ordinal blocks. `ts` prunes for free
+# via ordinal-order correlation (docs files are ordinal == time sorted);
+# `turn_idx` cycles per conversation, so without this every turn_idx range
+# was a full O(corpus) docs scan. Size: O(distinct values per block) —
+# ~n_docs * n_distinct / BLOCK_RANGE rows for cyclic low-cardinality columns.
+NUMERIC_DV_COLS = ["turn_idx"]
+
 # keyword subfields: UNTOKENIZED single-term postings over the raw value
 # (index/mapper/KeywordFieldMapper.java — keyword fields index the exact
 # value, norms disabled, so a term query is answered from the terms
@@ -465,6 +477,30 @@ def build_segment(
         .write.mode("overwrite")
         .parquet(store.term_stats_path(seg_id))
     )
+
+    # numeric doc-value block index (see NUMERIC_DV_COLS): distinct
+    # (col, val, bk) from the cached docs — map-side partial aggregation
+    # shrinks the shuffle to ~n_distinct rows per block per partition, so
+    # this is a rounding error next to the postings shuffle.
+    dv = None
+    for c in NUMERIC_DV_COLS:
+        d = docs.where(F.col(c).isNotNull()).select(
+            F.lit(c).alias("col"),
+            F.col(c).cast("long").alias("val"),
+            F.shiftright(F.col("ordinal"), BLOCK_BITS).cast("int").alias("bk"),
+        )
+        dv = d if dv is None else dv.unionByName(d)
+    if dv is not None:
+        (
+            # range-cluster by (col, val) so each output file covers a value
+            # range and parquet min/max stats prune range reads; few files —
+            # the table is tiny relative to docs/postings.
+            dv.distinct()
+            .repartitionByRange(max(1, (partitions or 8) // 8), "col", "val")
+            .sortWithinPartitions("col", "val")
+            .write.mode("overwrite")
+            .parquet(store.dv_stats_path(seg_id))
+        )
 
     docs.unpersist()
     meta = SegmentMeta(

@@ -168,16 +168,34 @@ def update_by_query(
     spark: SparkSession,
     store: SegmentStore,
     predicate: str,
-    set_exprs: dict[str, str],
+    set_exprs: dict[str, str] | None = None,
     partitions: int | None = None,
     req_old_source=False,
     req_new_source=False,
     max_docs_return: int = MAX_DOCS_RETURN,
+    script=None,
 ) -> UpdateResult:
-    """_update_by_query: SQL predicate selects docs, SET expressions (the
-    Painless-script analog, e.g. {"tool": "upper(tool)"}) produce new rows."""
+    """_update_by_query: SQL predicate selects docs; new rows come from SET
+    expressions (e.g. {"tool": "upper(tool)"}) or from a Painless update
+    script (`script={"source": "ctx._source.tool = ...", ...}`) compiled to
+    the same SET form (UpdateHelper.java:126-145 executeScript; ctx._source
+    assignments, if/else, ctx.op='noop' — functions/painless.compile_update).
+    """
+    if (set_exprs is None) == (script is None):
+        raise ValueError("update_by_query needs exactly one of set_exprs/script")
+    noop_cond = None
+    if script is not None:
+        from ..functions.painless import update_script_sql
+
+        set_exprs, noop_cond = update_script_sql(script)
+        for c in set_exprs:
+            if c not in UPDATABLE:
+                raise ValueError(f"update script assigns non-updatable field {c!r}")
     current = read_snapshot_table(spark, store)
     sel = current.where(predicate)
+    if noop_cond is not None:
+        # ctx.op='noop' docs are left untouched (no delete+rewrite, no image)
+        sel = sel.where(f"NOT coalesce(({noop_cond}), FALSE)")
     upd = sel.select(
         *KEYS,
         *[F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c) for c in UPDATABLE],

@@ -124,6 +124,9 @@ SEARCH_QUERIES: dict[str, dict] = {
             "negative_boost": 0.4,
         }
     },
+    # docs-only numeric range: answered from the per-segment doc-value block
+    # index (NumberFieldMapper BKD points analog), not a docs scan
+    "range_turn_idx_topk": {"range": {"turn_idx": {"gte": 7, "lte": 9}}},
     "regexp_topk": {"regexp": {"text": "quer(y|ies)"}},
     "exists_topk": {"exists": {"field": "tool"}},
     "fuzzy_topk": {"fuzzy": {"text": {"value": "quary", "fuzziness": 1}}},

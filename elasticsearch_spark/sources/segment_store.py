@@ -177,6 +177,14 @@ class SegmentStore:
         metadata analog; makes the query stats phase a pruned point read."""
         return os.path.join(self.root, segment_id, "term_stats.parquet")
 
+    def dv_stats_path(self, segment_id: str) -> str:
+        """Per-segment numeric doc-value block index (col, val, bk) sorted by
+        (col, val) — the Lucene BKD-points analog (ES answers numeric ranges
+        from points, index/mapper/NumberFieldMapper.java): a range query reads
+        this tiny value-sorted table with the range pushed down and gets the
+        candidate ordinal blocks, instead of scanning the docs tables."""
+        return os.path.join(self.root, segment_id, "dv_stats.parquet")
+
     def new_delete_file(self) -> str:
         return os.path.join(self.root, "deletes", f"del_{uuid.uuid4().hex[:12]}.parquet")
 

@@ -1,0 +1,262 @@
+"""Round-4 operators: numeric doc-value block index (docs-only range pruning),
+indexed->logical fallback visibility, and related fixes.
+
+Reference parity notes live in the operator docstrings; here we assert the
+round-3 VERDICT "do this" items: a turn_idx range must prune its docs scan
+via the dv block index (#3) and the result must match the logical path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans import query_dsl as Q
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def dv_store(spark, transcripts, tmp_path_factory):
+    from elasticsearch_spark.operators import index_build
+
+    root = str(tmp_path_factory.mktemp("dvidx"))
+    return index_build.build_index(spark, transcripts, root, n_slices=2, partitions=4)
+
+
+class TestDvConstraints:
+    def _c(self, qd):
+        from elasticsearch_spark.operators.topk import _dv_conjunctive_constraints
+
+        return _dv_conjunctive_constraints(Q.normalize_query(qd))
+
+    def test_range_bounds(self):
+        assert self._c({"range": {"turn_idx": {"gte": 3, "lt": 8}}}) == [
+            ("turn_idx", 3, 7)
+        ]
+        assert self._c({"range": {"turn_idx": {"gt": 3}}}) == [
+            ("turn_idx", 4, 1 << 62)
+        ]
+
+    def test_term_and_nested_bool(self):
+        qd = {
+            "bool": {
+                "must": [{"term": {"turn_idx": 5}}],
+                "filter": [
+                    {"bool": {"filter": [{"range": {"turn_idx": {"lte": 9}}}]}}
+                ],
+            }
+        }
+        assert sorted(self._c(qd)) == [("turn_idx", -(1 << 62), 9), ("turn_idx", 5, 5)]
+
+    def test_disjunctive_context_never_contributes(self):
+        # a doc can match via the OTHER should clause, so should/dis_max must
+        # not produce required constraints
+        assert self._c(
+            {
+                "bool": {
+                    "should": [
+                        {"range": {"turn_idx": {"lte": 2}}},
+                        {"term": {"role": "user"}},
+                    ]
+                }
+            }
+        ) == []
+
+    def test_non_dv_and_non_int_rejected(self):
+        assert self._c({"range": {"ts": {"gte": 3}}}) == []
+        assert self._c({"range": {"turn_idx": {"gte": "2020"}}}) == []
+        assert self._c({"term": {"turn_idx": True}}) == []
+
+
+class TestPainlessUpdateContext:
+    """UpdateHelper.java:126-145 executeScript analog: ctx._source
+    assignments, if/else, ctx.op='noop', params — compiled to SQL SET
+    expressions + a noop predicate (functions/painless.compile_update)."""
+
+    def _c(self, src, params=None):
+        from elasticsearch_spark.functions.painless import compile_update
+
+        return compile_update(src, params)
+
+    def test_plain_assign_and_params(self):
+        env, noop = self._c("ctx._source.tool = params.t;", {"t": "x"})
+        assert env == {"tool": "'x'"} and noop is None
+
+    def test_augmented_assign_reads_prior_value(self):
+        env, _ = self._c("ctx._source.turn_idx += 2; ctx._source.turn_idx *= 3;")
+        # second statement must see the first's result (sequential semantics)
+        assert env["turn_idx"] == "( ( turn_idx ) + ( 2 ) ) * ( 3 )"
+
+    def test_string_concat_renders_sql_concat(self):
+        env, _ = self._c("ctx._source.text = ctx._source.text + ' [x]';")
+        assert env["text"] == "( text ) || ' [x]'"
+
+    def test_if_else_guards_become_case(self):
+        env, _ = self._c(
+            "if (ctx._source.turn_idx >= 5) { ctx._source.role = 'hi'; } "
+            "else { ctx._source.role = 'lo'; }"
+        )
+        assert env["role"] == (
+            "CASE WHEN NOT (( turn_idx ) >= 5) THEN 'lo' ELSE "
+            "CASE WHEN (( turn_idx ) >= 5) THEN 'hi' ELSE role END END"
+        )
+
+    def test_conditional_noop(self):
+        env, noop = self._c(
+            "if (ctx._source.role == 'system') { ctx.op = 'noop'; } "
+            "ctx._source.tool = 'm';"
+        )
+        assert env == {"tool": "'m'"} and noop == "((( role ) = 'system'))"
+
+    def test_unconditional_noop_and_unparseable_raise_or_flag(self):
+        import pytest
+
+        _, noop = self._c("ctx.op = 'noop';")
+        assert noop == "TRUE"
+        with pytest.raises(ValueError):
+            self._c("for (int i=0;i<3;i++) { ctx._source.n += 1; }")
+        with pytest.raises(ValueError):
+            self._c("ctx._source.x = doc.missing(")
+
+    def test_update_by_query_requires_exactly_one_source(self, spark, tmp_path):
+        import pytest
+
+        from elasticsearch_spark.operators import update
+
+        with pytest.raises(ValueError):
+            update.update_by_query(spark, None, "TRUE")
+        with pytest.raises(ValueError):
+            update.update_by_query(
+                spark, None, "TRUE", set_exprs={"tool": "'x'"}, script="ctx.op='noop';"
+            )
+
+
+class TestDvBlockPruning:
+    """VERDICT r3 #3 / BENCH.md §7: a docs-only turn_idx range must answer
+    from the dv block index (value-sorted parquet, range pushed down), pruning
+    the docs scan to candidate ordinal blocks instead of O(corpus)."""
+
+    def test_dv_stats_written_and_value_sorted(self, spark, dv_store):
+        import os
+
+        snap = dv_store.snapshot()
+        for seg in snap.segments:
+            p = dv_store.dv_stats_path(seg.segment_id)
+            assert os.path.exists(p)
+            df = spark.read.parquet(p)
+            assert set(df.columns) == {"col", "val", "bk"}
+            # pushdown check: a val range filter reaches the parquet scan
+            plan = (
+                df.where((F.col("col") == "turn_idx") & F.col("val").between(3, 5))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "PushedFilters" in plan and "val" in plan
+
+    def test_block_pred_prunes_docs_scan(self, spark, dv_store):
+        from elasticsearch_spark.operators import topk
+
+        snap = dv_store.snapshot()
+        nq = Q.normalize_query({"range": {"turn_idx": {"gte": 7, "lte": 9}}})
+        pred = topk._dv_block_pred(spark, dv_store, snap, nq)
+        assert pred is not None
+        docs = topk.read_segment_docs(spark, dv_store, snap)
+        plan = docs.where(pred)._jdf.queryExecution().executedPlan().toString()
+        # the ordinal block ranges must reach the parquet scan as pushed
+        # row-group-prunable comparisons
+        assert "ordinal" in plan and "PushedFilters" in plan
+
+    def test_out_of_domain_range_yields_empty_fast(self, spark, dv_store):
+        from elasticsearch_spark.operators import topk
+
+        qd = {"range": {"turn_idx": {"gte": 10_000}}}
+        pred = topk._dv_block_pred(
+            spark, dv_store, dv_store.snapshot(), Q.normalize_query(qd)
+        )
+        # no block holds a matching value -> constant-false pruning predicate
+        assert pred is not None
+        assert topk.search_indexed(spark, dv_store, qd, k=10).count() == 0
+
+    @pytest.mark.parametrize(
+        "qd",
+        [
+            {"range": {"turn_idx": {"gte": 7, "lte": 9}}},
+            {"range": {"turn_idx": {"gt": 15}}},
+            {"bool": {"filter": [{"range": {"turn_idx": {"lt": 3}}},
+                                 {"term": {"role": "user"}}]}},
+            {"bool": {"must": [{"term": {"turn_idx": 4}}]}},
+        ],
+    )
+    def test_pruned_results_match_logical(self, spark, transcripts, dv_store, qd):
+        from elasticsearch_spark.operators import topk
+
+        idx = [
+            (r.conv_id, r.turn_idx, r.score)
+            for r in topk.search_indexed(spark, dv_store, qd, k=10).collect()
+        ]
+        log = [
+            (r.conv_id, r.turn_idx, round(r.score, 4))
+            for r in Q.search(transcripts, qd, KEYS, k=10).collect()
+        ]
+        assert idx == log, qd
+
+    def test_fallback_warns_and_fixtures_never_fall_back(self, spark, dv_store):
+        """VERDICT r3 #4: the indexed->logical fallback must be visible.
+
+        (a) every registered fixture lowers (no silent O(corpus) scan);
+        (b) a shape the kernel cannot express emits IndexedFallbackWarning
+            and still answers correctly via the logical plan."""
+        import warnings
+
+        from elasticsearch_spark.operators import topk
+        from elasticsearch_spark.queryset import (
+            INTERVALS_QUERIES,
+            SEARCH_QUERIES,
+            SPAN_QUERIES,
+        )
+
+        snap = dv_store.snapshot()
+        docs = topk.read_segment_docs(spark, dv_store, snap)
+        for name, qd in {**SEARCH_QUERIES, **INTERVALS_QUERIES, **SPAN_QUERIES}.items():
+            nq = Q.normalize_query(qd)
+            topk.lower_query(spark, dv_store, snap, docs, nq)  # must not raise
+
+        # dis_max over filter-context leaves has no kernel/doc-values lowering
+        odd = {
+            "dis_max": {
+                "queries": [
+                    {"range": {"turn_idx": {"lte": 2}}},
+                    {"exists": {"field": "tool"}},
+                ]
+            }
+        }
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            res = topk.search_indexed(spark, dv_store, odd, k=5).collect()
+        assert any(issubclass(x.category, topk.IndexedFallbackWarning) for x in w)
+        assert len(res) == 5  # still answered, via the logical plan
+
+    def test_legacy_segment_without_dv_falls_back(self, spark, transcripts, tmp_path):
+        import shutil
+
+        from elasticsearch_spark.operators import index_build, topk
+
+        store = index_build.build_index(
+            spark, transcripts, str(tmp_path / "legacy"), n_slices=1, partitions=4
+        )
+        snap = store.snapshot()
+        for seg in snap.segments:
+            shutil.rmtree(store.dv_stats_path(seg.segment_id))
+        qd = {"range": {"turn_idx": {"gte": 7, "lte": 9}}}
+        assert topk._dv_block_pred(spark, store, snap, Q.normalize_query(qd)) is None
+        idx = [
+            (r.conv_id, r.turn_idx, r.score)
+            for r in topk.search_indexed(spark, store, qd, k=10).collect()
+        ]
+        log = [
+            (r.conv_id, r.turn_idx, round(r.score, 4))
+            for r in Q.search(transcripts, qd, KEYS, k=10).collect()
+        ]
+        assert idx == log
