@@ -69,3 +69,17 @@ def analyze(text: str) -> list[str]:
 def token_count(text: Column | str) -> Column:
     """Doc length (number of tokens) — the BM25 `dl` before norm quantization."""
     return F.size(tokens(text))
+
+
+def wildcard_regex(value: str) -> str:
+    """ES wildcard pattern -> anchored regex, treating every non-wildcard
+    char literally (WildcardQueryBuilder semantics: only * and ? are special;
+    'c++*' must match terms starting with the literal 'c++'). re.escape emits
+    only punctuation escapes, valid in Java regex (Spark rlike), RE2, and
+    DuckDB alike — the one translation shared by engine, oracle, and
+    percolate so they can never diverge."""
+    import re
+
+    return "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c) for c in value
+    ) + "$"

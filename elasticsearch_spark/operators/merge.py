@@ -25,6 +25,8 @@ readable (Iceberg-style time travel).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -85,13 +87,25 @@ def merge_segments(
     # referencing a live segment (small parquet point reads).
     live_ids = {s.segment_id for s in new_live}
     kept_dels = []
-    for f in snap.delete_files:
-        segs = {
-            r.segment
-            for r in spark.read.parquet(f).select("segment").distinct().collect()
-        }
-        if segs & live_ids:
-            kept_dels.append(f)
+    if snap.delete_files:
+        # one job over ALL delete files (not one per file — with many
+        # accumulated files, per-file jobs make commit latency linear in
+        # file count, the very situation this pruning targets)
+        refs = (
+            spark.read.parquet(*snap.delete_files)
+            .select(F.input_file_name().alias("file"), "segment")
+            .where(F.col("segment").isin(sorted(live_ids)))
+            .select("file")
+            .distinct()
+            .collect()
+        )
+        # input_file_name returns part-file URIs inside each delete dir;
+        # match on the dir's (uuid-unique) basename as a path component
+        alive = {r.file for r in refs}
+        kept_dels = [
+            f for f in snap.delete_files
+            if any(f"/{os.path.basename(f.rstrip('/'))}/" in a for a in alive)
+        ]
     new_snap = store.commit(
         new_live,
         "merge",

@@ -109,6 +109,16 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
                     "(keyword-only / range-only must clauses are unsupported)"
                 )
             return list(dict.fromkeys(req_terms)), 1, True
+        msm = body.get("minimum_should_match")
+        if msm is not None and str(msm).rstrip("%").lstrip("-").isdigit() \
+                and int(str(msm).rstrip("%")) <= 0:
+            # msm<=0 makes should clauses OPTIONAL (the bool matches every
+            # doc); term-based candidate pruning would silently drop matches,
+            # so refuse loudly like the other unsupported stored shapes
+            raise ValueError(
+                "percolate bool with minimum_should_match<=0 matches all "
+                "docs; term pruning is unsound for this stored query"
+            )
         sh_terms: list[str] = []
         items = body.get("should") or []
         for sub in items if isinstance(items, list) else [items]:
@@ -154,9 +164,7 @@ def percolate(
             v = str(v).lower()
             if qk == "wildcard":
                 # same translation the engine + oracle use (topk.expand_terms)
-                pattern_rows.append(
-                    (qid, "^" + v.replace("*", ".*").replace("?", ".") + "$")
-                )
+                pattern_rows.append((qid, analysis.wildcard_regex(v)))
             else:
                 prefix_rows.append((qid, v))
             continue

@@ -306,8 +306,7 @@ def expand_terms(
         if kind == "prefix":
             d = d.where(F.col("term").startswith(value))
         elif kind == "wildcard":
-            pat = value.replace("*", ".*").replace("?", ".")
-            d = d.where(F.col("term").rlike(f"^{pat}$"))
+            d = d.where(F.col("term").rlike(analysis.wildcard_regex(value)))
         elif kind == "regexp":
             d = d.where(F.col("term").rlike(f"^{value}$"))
         elif kind == "fuzzy":

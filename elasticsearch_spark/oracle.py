@@ -520,8 +520,7 @@ class _SqlGen:
             if kind == "prefix":
                 cond = f"starts_with(x, {_sql_str(val)})"
             elif kind == "wildcard":
-                pat = val.replace("*", ".*").replace("?", ".")
-                cond = f"regexp_matches(x, {_sql_str('^' + pat + '$')})"
+                cond = f"regexp_matches(x, {_sql_str(analysis.wildcard_regex(val))})"
             elif kind == "regexp":
                 cond = f"regexp_matches(x, {_sql_str('^' + val + '$')})"
             else:

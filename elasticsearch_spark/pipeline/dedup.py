@@ -136,25 +136,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df_frac: float = 1.0,
+    max_df_frac: float = 0.05,
+    min_df_docs: int = 16,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs >= threshold via inverted-index join.
 
     explode(distinct tokens) -> self-join on token -> |A∩B| = join count,
-    |A∪B| = |A| + |B| - |A∩B|. `max_df_frac` < 1 removes tokens shared by
-    more than that fraction of docs from the token UNIVERSE (set sizes and
-    intersections both) — Jaccard over the discriminative tokens. Hot tokens
-    are pure join-skew (they quadratically inflate the self-join while
-    carrying no near-dup signal, being shared by everyone) — the skew control
-    for web-scale corpora.
+    |A∪B| = |A| + |B| - |A∩B|. Tokens shared by more than
+    max(max_df_frac * n_docs, min_df_docs) documents are removed from the
+    token UNIVERSE (set sizes and intersections both) — Jaccard over the
+    discriminative tokens. Hot tokens are pure join-skew (they quadratically
+    inflate the self-join while carrying no near-dup signal, being shared by
+    everyone), so the cap is ON by default — on a web corpus a stop word
+    alone makes the self-join quadratic in corpus size. The min_df_docs
+    floor keeps small corpora intact (a 5%-of-20-docs cap would strip every
+    token); pass max_df_frac=1.0 for the uncapped exact baseline.
     """
     tok = _token_sets(df, text_col, id_col).select("id", F.explode("toks").alias("tok"))
     if max_df_frac < 1.0:
         n_docs = df.count()
+        cap = max(n_docs * max_df_frac, float(min_df_docs))
         hot = (
             tok.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > n_docs * max_df_frac)
+            .where(F.col("df") > cap)
             .select("tok")
         )
         tok = tok.join(F.broadcast(hot), "tok", "left_anti")

@@ -28,6 +28,30 @@ FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7"""
 
+# the engine's default df-cap (dedup.ngram_jaccard_pairs: tokens in more
+# than max(5% of docs, 16 docs) are removed from the token universe) —
+# mirrored independently here so the skew control itself is under the gate
+_JACCARD_CAPPED_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '{_RX}')) AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM raw),
+hot AS (
+  SELECT tok FROM ex GROUP BY tok
+  HAVING count(*) > greatest((SELECT count(*) FROM raw) * 0.05, 16)
+),
+t AS (
+  SELECT doc_id, list(tok) AS toks FROM ex ANTI JOIN hot USING (tok)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -148,7 +172,7 @@ WITH fp AS (
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp
 ) WHERE rn = 1""",
-    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_ngram_jaccard": _JACCARD_CAPPED_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
     "dedup_embedding_cosine": """
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings)

@@ -25,6 +25,7 @@ Scoring of non-text leaves in scoring context:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 
@@ -128,7 +129,9 @@ def normalize_query(q: dict) -> dict:
         # (the translator has no _score binding and would mistranslate).
         src = body["script"]
         s_src = src["source"] if isinstance(src, dict) else str(src)
-        if "_score" in s_src:
+        # bare `_score` variable only — params.risk_score / doc['x_score']
+        # are fine (word-boundary, not substring)
+        if re.search(r"(?<![\w.'])_score\b", s_src):
             raise ValueError("script_score scripts referencing _score unsupported")
         if "min_score" in body:
             # fail loudly rather than silently widen the result set
@@ -598,8 +601,8 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
     if kind == "wildcard":
         (field, v), = body.items()
         v = v["value"] if isinstance(v, dict) else v
-        pat = v.replace("*", ".*").replace("?", ".")
-        return _multi_term(ctx, field, lambda t: t.rlike(f"^{pat}$"))
+        pat = analysis.wildcard_regex(v)
+        return _multi_term(ctx, field, lambda t: t.rlike(pat))
     if kind == "regexp":
         # regexp query (RegexpQueryBuilder.java, reg SearchModule.java:797):
         # anchored whole-term regex over the token dictionary, constant-score

@@ -51,7 +51,7 @@ class TestDedup:
         assert kept.where("doc_id >= 100000").count() == 0
 
     def test_minhash_equals_exact_jaccard(self, spark, docs):
-        exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.7))
+        exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.7, max_df_frac=1.0))
         lsh = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.7))
         assert lsh == exact
         assert len(exact) > 0  # corpus has planted near-dups
@@ -70,10 +70,16 @@ class TestDedup:
             (5, f"{hot} monday tuesday wednesday thursday friday sat sun jan feb"),
         ]
         d = spark.createDataFrame(rows, "doc_id long, text string")
-        full = _pairs(dedup.ngram_jaccard_pairs(d, threshold=0.7))
-        capped = _pairs(dedup.ngram_jaccard_pairs(d, threshold=0.7, max_df_frac=0.5))
+        full = _pairs(dedup.ngram_jaccard_pairs(d, threshold=0.7, max_df_frac=1.0))
+        capped = _pairs(
+            dedup.ngram_jaccard_pairs(d, threshold=0.7, max_df_frac=0.5, min_df_docs=0)
+        )
+        # default cap on a tiny corpus: the min_df_docs floor keeps every
+        # token (5% of 6 docs would strip all), so results stay exact
+        dflt = _pairs(dedup.ngram_jaccard_pairs(d, threshold=0.7))
         assert full == [(0, 1), (2, 3)]
         assert capped == [(0, 1), (2, 3)]
+        assert dflt == [(0, 1), (2, 3)]
 
     def test_simhash_bands_complete_at_h3(self, spark, docs):
         """4x16 banding guarantees every pair with hamming <= 3 is found."""
