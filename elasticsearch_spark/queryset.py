@@ -117,6 +117,16 @@ SEARCH_QUERIES: dict[str, dict] = {
     "query_string_phrase_wild": {
         "query_string": {"query": '"table hash" OR fas*'}
     },
+    # Lucene full-syntax forms (QueryStringQueryParser.java): inclusive /
+    # exclusive / open-ended ranges, ^boost (scoring leaf + group), ~fuzzy,
+    # ~slop on phrases, /regex/ — each rewrites to existing DSL so both
+    # engine paths and the oracle run them through their normal compilers
+    "query_string_range_boost": {
+        "query_string": {"query": 'turn_idx:[7 TO 9] query^2 "fast scan"~1'}
+    },
+    "query_string_fuzzy_regex": {
+        "query_string": {"query": "quary~1 OR /ind(ex|ices)/ OR (slow scan)^3"}
+    },
     "boosting_demote": {
         "boosting": {
             "positive": {"match": {"text": "query fast"}},
