@@ -14,15 +14,26 @@ how the reference analyzes query text with the index-time analyzer
 Supported components (ES name -> here):
   tokenizers: standard, whitespace, letter, keyword, ngram, edge_ngram
   filters: lowercase, uppercase, stop, asciifolding, length, unique, reverse,
-           truncate, shingle, stemmer(minimal_english)
+           truncate, shingle, synonym, stemmer(minimal_english | porter)
 The minimal_english stemmer is a plural-stripping stemmer in the spirit of
 Lucene's EnglishMinimalStemmer (-ies>-y, -es>-e drop, -s drop unless -ss;
 words <3 chars untouched) — NOT Porter, and slightly broader than Lucene's
 (which only strips a trailing -s); rule set documented here, tested in
-tests/test_analyzers.py.
+tests/test_analyzers.py. `porter` is the full Porter-1980 algorithm
+(functions/porter.py, Lucene PorterStemFilter analog) — the one filter that
+runs as an Arrow-batched pandas UDF rather than a codegen expression
+(40 measure-conditioned suffix rules don't express as Columns); the hot
+default `standard` chain stays pure codegen.
 
-Out of scope (catalogued, not built): language-specific analyzers, synonyms,
-phonetic, ICU; the north rule's corpus is English-default (`standard`).
+`synonym` (SynonymTokenFilterFactory.java, Solr rule format): single-token
+rules only — `a, b => c` (replace) and `a, b, c` (equivalence set; expand
+defaults true). Multi-word synonyms need Lucene's token-graph machinery and
+raise ValueError. Expansion inserts tokens in place, shifting subsequent
+positions (ES flattens graphs the same way at index time).
+
+Out of scope (catalogued, not built): language-specific analyzers beyond
+porter/english_light, phonetic, ICU; the north rule's corpus is
+English-default (`standard`).
 """
 
 from __future__ import annotations
@@ -124,8 +135,25 @@ def _apply_filter(toks: Column, f) -> Column:
             )
             out = F.concat(out, sh)
         return out
+    if name == "synonym":
+        mapping = parse_synonym_rules(
+            params.get("synonyms", []), params.get("expand", True)
+        )
+        if not mapping:
+            return toks
+        kv = []
+        for k, vs in mapping.items():
+            kv += [F.lit(k), F.array(*[F.lit(v) for v in vs])]
+        m = F.create_map(*kv)
+        return F.flatten(
+            F.transform(
+                toks, lambda t: F.coalesce(F.element_at(m, t), F.array(t))
+            )
+        )
     if name == "stemmer":
         lang = params.get("language", "minimal_english")
+        if lang == "porter":
+            return _porter_udf()(toks)
         if lang != "minimal_english":
             raise ValueError(f"stemmer language {lang} unsupported")
         return F.transform(
@@ -139,6 +167,58 @@ def _apply_filter(toks: Column, f) -> Column:
     raise ValueError(f"unknown token filter: {name}")
 
 
+def parse_synonym_rules(rules: list[str], expand: bool = True) -> dict:
+    """Solr-format synonym rules -> {token: [replacement tokens]}.
+
+    `a, b => c, d` replaces any LHS token with the RHS list; `a, b, c` is an
+    equivalence set — expand=True maps every member to the full set (ES
+    default), expand=False maps every member to the first. Single-token terms
+    only (multi-word rules need token graphs; fail loudly)."""
+    mapping: dict[str, list[str]] = {}
+    for rule in rules:
+        if "=>" in rule:
+            lhs, rhs = rule.split("=>", 1)
+            lhs_t = [t.strip() for t in lhs.split(",") if t.strip()]
+            rhs_t = [t.strip() for t in rhs.split(",") if t.strip()]
+            if not lhs_t or not rhs_t:
+                raise ValueError(f"bad synonym rule: {rule!r}")
+            for t in lhs_t + rhs_t:
+                if " " in t:
+                    raise ValueError(
+                        f"multi-word synonym {t!r} unsupported (token graphs)"
+                    )
+            for t in lhs_t:
+                mapping[t] = rhs_t
+        else:
+            terms = [t.strip() for t in rule.split(",") if t.strip()]
+            if len(terms) < 2:
+                raise ValueError(f"bad synonym rule: {rule!r}")
+            for t in terms:
+                if " " in t:
+                    raise ValueError(
+                        f"multi-word synonym {t!r} unsupported (token graphs)"
+                    )
+            for t in terms:
+                mapping[t] = terms if expand else [terms[0]]
+    return mapping
+
+
+def _porter_udf():
+    """Arrow-batched array<string> -> array<string> Porter pass (the one
+    non-codegen filter; see module docstring)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from .porter import porter_stem
+
+    def _stem(col):
+        return col.map(
+            lambda toks: None if toks is None else [porter_stem(t) for t in toks]
+        )
+
+    return pandas_udf(_stem, ArrayType(StringType()))
+
+
 # --------------------------------------------------------------- analyzers
 BUILTIN_ANALYZERS: dict[str, dict] = {
     "standard": {"tokenizer": "standard", "filters": ["lowercase"]},
@@ -149,6 +229,13 @@ BUILTIN_ANALYZERS: dict[str, dict] = {
     "english_light": {
         "tokenizer": "standard",
         "filters": ["lowercase", "stop", {"type": "stemmer", "language": "minimal_english"}],
+    },
+    # the classic `english`-style chain: stop + full Porter (EnglishAnalyzer
+    # uses PorterStemFilter; we omit possessive-' stripping — the standard
+    # tokenizer here already splits on apostrophes)
+    "english_porter": {
+        "tokenizer": "standard",
+        "filters": ["lowercase", "stop", {"type": "stemmer", "language": "porter"}],
     },
 }
 
@@ -234,7 +321,18 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
             for n in range(mn, mx + 1):
                 out += [sep.join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
             toks = out
+        elif name == "synonym":
+            mapping = parse_synonym_rules(
+                params.get("synonyms", []), params.get("expand", True)
+            )
+            toks = [s for t in toks for s in mapping.get(t, [t])]
         elif name == "stemmer":
+            if params.get("language", "minimal_english") == "porter":
+                from .porter import porter_stem
+
+                toks = [porter_stem(t) for t in toks]
+                continue
+
             def stem(t: str) -> str:
                 if len(t) < 3:
                     return t

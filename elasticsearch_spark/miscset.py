@@ -103,6 +103,40 @@ def fx_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest.analyze_api(spark, "Hello, Spark-Graft 42!")
 
 
+# --- _analyze with a synonym + full-Porter chain (round 4: the two
+# highest-usage analysis components beyond `standard`; ref
+# SynonymTokenFilterFactory.java, Lucene PorterStemmer). The oracle is the
+# HAND-DERIVED token stream (independently worked through the Solr rules and
+# the Porter-1980 steps), so the filters themselves are under the gate:
+#   standard+lowercase: the db was quick relational queries happily optimized
+#   synonyms (db=>database; fast,quick,rapid expand):
+#     the database was fast quick rapid relational queries happily optimized
+#   porter: the databas wa fast quick rapid relat queri happili optim
+_SYN_PORTER_CHAIN = {
+    "tokenizer": "standard",
+    "filters": [
+        "lowercase",
+        {"type": "synonym", "synonyms": ["fast, quick, rapid", "db => database"]},
+        {"type": "stemmer", "language": "porter"},
+    ],
+}
+
+
+def fx_analyze_synonym_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suggest.analyze_api(
+        spark,
+        "The DB was quick: relational queries happily optimized",
+        _SYN_PORTER_CHAIN,
+    )
+
+
+_ANALYZE_SYN_PORTER_ORACLE = """
+SELECT * FROM (VALUES
+  ('the', 0), ('databas', 1), ('wa', 2), ('fast', 3), ('quick', 4),
+  ('rapid', 5), ('relat', 6), ('queri', 7), ('happili', 8), ('optim', 9)
+) AS t(token, position)"""
+
+
 # --- Get / Multi-get (ShardGetService.java:92-125, TransportMultiGetAction):
 # point reads by _id = conv_id#turn_idx against the latest snapshot view
 _GET_IDS = ["conv_000002#7", "conv_000005#0", "conv_000009#19"]
@@ -695,6 +729,7 @@ MISC_QUERY_FNS = {
     "suggest_term": fx_term_suggest,
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
+    "analyze_synonym_porter": fx_analyze_synonym_porter,
     "doc_get": fx_get,
     "doc_multi_get": fx_multi_get,
     "percolate_stored": fx_percolate,
@@ -717,6 +752,7 @@ MISC_ORACLE_SQL = {
     "suggest_term": _SUGGEST_ORACLE,
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,
+    "analyze_synonym_porter": _ANALYZE_SYN_PORTER_ORACLE,
     "doc_get": _get_oracle(_GET_IDS[:1]),
     "doc_multi_get": _get_oracle(_GET_IDS),
     "percolate_stored": _PERCOLATE_ORACLE,

@@ -34,6 +34,23 @@ CHAINS = [
     {"tokenizer": "standard", "filters": ["lowercase", {"type": "shingle", "min_shingle_size": 2, "max_shingle_size": 3}]},
     {"tokenizer": "edge_ngram", "min_gram": 1, "max_gram": 3, "filters": ["lowercase"]},
     {"tokenizer": "ngram", "min_gram": 2, "max_gram": 2, "filters": ["lowercase"]},
+    # round 4: full Porter + synonym chains (executor/driver twin parity)
+    "english_porter",
+    {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "synonym", "synonyms": ["quick, fast, rapid", "dogs => canines"]},
+        ],
+    },
+    {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "synonym", "synonyms": ["quick, fast", "a, an"], "expand": False},
+            {"type": "stemmer", "language": "porter"},
+        ],
+    },
 ]
 
 
@@ -80,3 +97,65 @@ def test_analyze_api_with_analyzer(spark):
     assert [(r.token, r.position) for r in rows] == [("quick", 0), ("foxe", 1)]
     rows = analyze_api(spark, "Thé Quick foxes").collect()
     assert [r.token for r in rows] == ["thé", "quick", "foxes"]
+
+
+def test_porter_canonical_vectors():
+    """The canonical examples from Porter (1980) §the algorithm — exactly
+    Lucene PorterStemmer's outputs."""
+    from elasticsearch_spark.functions.porter import porter_stem as p
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "valenci": "valenc",
+        "hesitanci": "hesit", "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    bad = {w: (p(w), e) for w, e in vectors.items() if p(w) != e}
+    assert not bad, bad
+
+
+def test_synonym_rules():
+    from elasticsearch_spark.functions.analyzers import parse_synonym_rules
+
+    m = parse_synonym_rules(["a, b => c, d", "x, y"])
+    assert m["a"] == ["c", "d"] and m["b"] == ["c", "d"]
+    assert m["x"] == ["x", "y"] and m["y"] == ["x", "y"]
+    m2 = parse_synonym_rules(["x, y"], expand=False)
+    assert m2["x"] == ["x"] and m2["y"] == ["x"]
+    with pytest.raises(ValueError, match="multi-word"):
+        parse_synonym_rules(["big apple => nyc"])
+
+
+def test_synonym_expansion_in_chain():
+    chain = {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "synonym", "synonyms": ["quick, fast", "dogs => canines"]},
+        ],
+    }
+    assert analyzers.analyze_text("Quick dogs run", chain) == [
+        "quick", "fast", "canines", "run",
+    ]
