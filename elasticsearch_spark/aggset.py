@@ -477,6 +477,70 @@ SELECT t.role AS role,
 FROM transcripts t JOIN m USING (role) GROUP BY t.role ORDER BY t.role""",
 }
 
+# --- matrix_stats (modules/aggs-matrix-stats): per-role moment vector +
+# covariance/correlation matrix over (turn_idx, n_chars). The oracle computes
+# the same ES-semantics quantities from POWER SUMS (central moments via
+# avg(x^k)) — an independent algebraic route from Spark's streaming
+# central-moment updates, so the formulas themselves are cross-checked.
+def _ms_oracle() -> str:
+    flds = {"a": "turn_idx", "b": "len(text)"}
+    stats = []
+    for k, e in flds.items():
+        stats += [
+            f"count(*) AS n",
+            f"avg({e}) AS m1_{k}", f"avg(pow({e},2)) AS p2_{k}",
+            f"avg(pow({e},3)) AS p3_{k}", f"avg(pow({e},4)) AS p4_{k}",
+            f"var_samp({e}) AS var_{k}",
+        ]
+    stats.append(f"covar_samp({flds['a']}, {flds['b']}) AS cov_ab")
+    stats.append(f"corr({flds['a']}, {flds['b']}) AS corr_ab")
+    stats = list(dict.fromkeys(stats))
+    moments = []
+    for k in flds:
+        moments += [
+            f"m1_{k}", f"(p2_{k} - m1_{k}*m1_{k}) AS c2_{k}",
+            f"(p3_{k} - 3*m1_{k}*p2_{k} + 2*pow(m1_{k},3)) AS c3_{k}",
+            f"(p4_{k} - 4*m1_{k}*p3_{k} + 6*m1_{k}*m1_{k}*p2_{k}"
+            f" - 3*pow(m1_{k},4)) AS c4_{k}",
+        ]
+    arms = []
+    names = {"a": "turn_idx", "b": "n_chars"}
+    for x in ("a", "b"):
+        for y in ("a", "b"):
+            cov = f"var_{x}" if x == y else "cov_ab"
+            cor = "1.0" if x == y else "corr_ab"
+            arms.append(
+                f"SELECT role, '{names[x]}' AS name, '{names[y]}' AS other,\n"
+                f"  n AS count, round(m1_{x}, 4) AS mean,\n"
+                f"  round(var_{x}, 4) AS variance,\n"
+                f"  round(c3_{x} / pow(c2_{x}, 1.5), 4) AS skewness,\n"
+                f"  round(c4_{x} / (c2_{x} * c2_{x}), 4) AS kurtosis,\n"
+                f"  round({cov}, 4) AS covariance, round({cor}, 4) AS correlation\n"
+                f"FROM m"
+            )
+    return (
+        f"{TRANSCRIPTS_CTE},\n"
+        f"s AS (SELECT role, {', '.join(stats)} FROM transcripts GROUP BY role),\n"
+        f"m AS (SELECT *, {', '.join(moments)} FROM s)\n"
+        f"SELECT * FROM ({' UNION ALL '.join(arms)}) ORDER BY role, name, other"
+    )
+
+
+AGG_QUERIES["agg_matrix_stats"] = {"oracle": _ms_oracle()}
+
+
+def _matrix_stats_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TR.transcripts_view(spark, sf_dir).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = aggs.matrix_stats(docs, ["turn_idx", "n_chars"], group_by=["role"])
+    num = ["mean", "variance", "skewness", "kurtosis", "covariance", "correlation"]
+    return out.select(
+        "role", "name", "other", "count",
+        *[F.round(F.col(c), 4).alias(c) for c in num],
+    ).orderBy("role", "name", "other")
+
+
 # --- diversified_sampler (reg SearchModule.java:407): top shard_size docs by
 # score with at most max_docs_per_value per role; score = epoch(ts), unique
 # per doc, so the ranked window is fully deterministic.
@@ -792,6 +856,8 @@ def agg_query_fns() -> dict:
             out[name] = _mad_fix
         elif name == "agg_adjacency_matrix":
             out[name] = _adjacency_fix
+        elif name == "agg_matrix_stats":
+            out[name] = _matrix_stats_fix
         elif name == "agg_scripted_metric":
             out[name] = _scripted_metric_fix
         elif name == "agg_diversified_sampler":

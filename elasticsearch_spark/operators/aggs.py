@@ -607,6 +607,60 @@ def adjacency_matrix(docs: DataFrame, filters: dict[str, str]) -> DataFrame:
     )
 
 
+def matrix_stats(
+    docs: DataFrame, fields: list[str], group_by: list[str] | None = None
+) -> DataFrame:
+    """matrix_stats agg (modules/aggs-matrix-stats MatrixStatsAggregator.java
+    / support/RunningStats.java) — the last reference agg module without an
+    analog here: per-field count/mean/variance/skewness/kurtosis plus the
+    pairwise covariance and correlation matrices, long layout (one row per
+    ordered field pair). ES semantics mirrored exactly: docs missing ANY
+    field are skipped (RunningStats.add requires all fields), variance and
+    covariance are sample (n-1), skewness is population g1
+    (sqrt(n)*M3/M2^1.5), kurtosis is NON-excess n*M4/M2^2 (Spark's built-in
+    is excess, hence +3). One built-in JVM aggregation per group — partial
+    (map-side) moment combining comes free from Catalyst, no UDAF, no
+    second pass; the stack() to long layout is a per-group constant-width
+    pivot. Scales as one shuffle of O(groups * fields^2) moment cells.
+    """
+    d = docs
+    for f in fields:
+        d = d.where(F.col(f).isNotNull())
+    gcols = group_by or []
+    exprs = []
+    for f in fields:
+        c = F.col(f).cast("double")
+        exprs += [
+            F.count(c).alias(f"_n_{f}"),
+            F.avg(c).alias(f"_mean_{f}"),
+            F.var_samp(c).alias(f"_var_{f}"),
+            F.skewness(c).alias(f"_skew_{f}"),
+            (F.kurtosis(c) + F.lit(3.0)).alias(f"_kurt_{f}"),
+        ]
+    for a in fields:
+        for b in fields:
+            ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+            exprs += [
+                F.covar_samp(ca, cb).alias(f"_cov_{a}_{b}"),
+                F.corr(ca, cb).alias(f"_corr_{a}_{b}"),
+            ]
+    row = d.groupBy(*gcols).agg(*exprs)
+    cells = []
+    for a in fields:
+        for b in fields:
+            cells += [
+                f"'{a}'", f"'{b}'", f"`_n_{a}`", f"`_mean_{a}`", f"`_var_{a}`",
+                f"`_skew_{a}`", f"`_kurt_{a}`", f"`_cov_{a}_{b}`",
+                f"`_corr_{a}_{b}`",
+            ]
+    stack = (
+        f"stack({len(fields) ** 2}, {', '.join(cells)}) AS "
+        "(name, other, count, mean, variance, skewness, kurtosis, "
+        "covariance, correlation)"
+    )
+    return row.selectExpr(*gcols, stack)
+
+
 def scripted_metric(
     docs: DataFrame,
     group_by: list[str],
