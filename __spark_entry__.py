@@ -103,6 +103,13 @@ R4_WINDOW = [
     "search_range_turn_idx_topk", "indexed_range_turn_idx_topk",
     # Painless update context: ctx._source/if-else/noop -> MERGE SET exprs
     "update_by_query_script",
+    # query_string full syntax: ranges, ^boosts, ~fuzzy/slop, /regex/
+    "search_query_string_range_boost", "indexed_query_string_range_boost",
+    "search_query_string_fuzzy_regex", "indexed_query_string_fuzzy_regex",
+    # synonym + full-Porter analysis chain (hand-derived oracle)
+    "analyze_synonym_porter",
+    # matrix_stats (the last uncovered reference agg module)
+    "agg_matrix_stats",
 ]
 
 
