@@ -110,6 +110,16 @@ R4_WINDOW = [
     "analyze_synonym_porter",
     # matrix_stats (the last uncovered reference agg module)
     "agg_matrix_stats",
+    # multi-fragment highlighter (tags/number_of_fragments/order=score)
+    "highlight_fragments_score",
+    # interval-freq scoring (sloppyFreq summation) re-gates the proximity
+    # family: span_near chains, span_first/span_not occurrence counts,
+    # ordered + unordered merged-stream intervals
+    "search_span_near_ordered", "indexed_span_near_ordered",
+    "search_span_first", "indexed_span_first",
+    "search_span_not", "indexed_span_not",
+    "search_intervals_ordered", "indexed_intervals_ordered",
+    "search_intervals_unordered", "indexed_intervals_unordered",
 ]
 
 
@@ -169,6 +179,23 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["highlight_match"] = _highlight
 
+    def _highlight_fragments(spark, sf_dir):
+        from elasticsearch_spark.functions import analysis, highlight
+
+        qd = SEARCH_QUERIES["match_or_topk"]
+        terms = analysis.analyze(qd["match"]["text"])
+        docs = TR.transcripts_view(spark, sf_dir)
+        hits = Q.search(docs, qd, KEYS, k=DEFAULT_K)
+        return hits.join(docs.select(*KEYS, "text"), KEYS).select(
+            *KEYS, "score",
+            highlight.highlight_fragments_expr(
+                "text", terms, pre="<b>", post="</b>", fragment_size=80,
+                number_of_fragments=3, order="score", no_match_size=40,
+            ).alias("fragments"),
+        )
+
+    out["highlight_fragments_score"] = _highlight_fragments
+
     def _terminate_after(spark, sf_dir):
         from elasticsearch_spark.operators import cursor as C
 
@@ -220,6 +247,11 @@ def oracle_sql() -> dict[str, str]:
     hq = SEARCH_QUERIES["match_or_topk"]
     out["highlight_match"] = oracle.highlight_search_sql(
         hq, _an.analyze(hq["match"]["text"]), DEFAULT_K
+    )
+    out["highlight_fragments_score"] = oracle.highlight_fragments_search_sql(
+        hq, _an.analyze(hq["match"]["text"]), DEFAULT_K, pre="<b>",
+        post="</b>", fragment_size=80, number_of_fragments=3, order="score",
+        no_match_size=40,
     )
     out.update(miscset.MISC_ORACLE_SQL)
     out.update(handset.HAND_ORACLE_SQL)

@@ -48,3 +48,92 @@ def highlight_sql(text_expr: str, terms: list[str], fragment_size: int = 100, le
     pos = f"strpos({hl}, '{PRE}')"
     start = f"greatest({pos} - {lead}, 1)"
     return f"substr({hl}, cast({start} as bigint), {fragment_size})"
+
+
+def highlight_fragments_expr(
+    text: Column | str,
+    terms: list[str],
+    pre: str = PRE,
+    post: str = POST,
+    fragment_size: int = 100,
+    number_of_fragments: int = 5,
+    order: str | None = None,
+    no_match_size: int = 0,
+    sep: str = " … ",
+) -> Column:
+    """Multi-fragment highlighter (HighlightBuilder options: pre_tags /
+    post_tags / fragment_size / number_of_fragments / order:"score" /
+    no_match_size — search/fetch/subphase/highlight/HighlightBuilder.java).
+
+    Fragmenter model (documented simplification of Lucene's SimpleFragmenter,
+    which breaks at token boundaries): the ORIGINAL text is chopped into
+    consecutive `fragment_size`-char windows; each window is tagged
+    independently (a term spanning a boundary matches in neither half — same
+    on both engines), windows with >= 1 hit are kept, ordered by position or
+    by hit count (order="score", ties by position), capped at
+    `number_of_fragments`, and joined with `sep` into one string column (ES
+    returns a fragment array; the driver compare needs a scalar). With no
+    hits, no_match_size > 0 yields the leading `no_match_size` chars.
+
+    Hit counting is tag-expansion arithmetic — (len(tagged) - len(raw)) /
+    len(pre + post) — identical in Spark and the DuckDB twin."""
+    c = F.col(text) if isinstance(text, str) else text
+    fs = int(fragment_size)
+    taglen = len(pre) + len(post)
+    nw = F.greatest(F.ceil(F.length(c) / F.lit(fs)).cast("int"), F.lit(1))
+    idxs = F.sequence(F.lit(0), nw - 1)
+
+    def frag(i):
+        raw = c.substr(i * fs + 1, F.lit(fs))
+        tagged = F.regexp_replace(raw, "(?i)" + _pat(terms), pre + "$1" + post)
+        hits = (F.length(tagged) - F.length(raw)) / F.lit(taglen)
+        return F.struct(
+            (-hits).cast("long").alias("h"), i.alias("i"), tagged.alias("f")
+        )
+
+    kept = F.filter(F.transform(idxs, frag), lambda s: s["h"] < 0)
+    if order == "score":
+        kept = F.array_sort(kept)  # struct order: (-hits, position)
+    best = F.slice(kept, 1, int(number_of_fragments))
+    joined = F.array_join(F.transform(best, lambda s: s["f"]), sep)
+    if no_match_size > 0:
+        return F.when(F.size(kept) > 0, joined).otherwise(
+            F.substring(c, 1, int(no_match_size))
+        )
+    return F.when(F.size(kept) > 0, joined).otherwise(F.lit(""))
+
+
+def highlight_fragments_sql(
+    text_expr: str,
+    terms: list[str],
+    pre: str = PRE,
+    post: str = POST,
+    fragment_size: int = 100,
+    number_of_fragments: int = 5,
+    order: str | None = None,
+    no_match_size: int = 0,
+    sep: str = " … ",
+) -> str:
+    """DuckDB twin of highlight_fragments_expr (oracle)."""
+    fs = int(fragment_size)
+    taglen = len(pre) + len(post)
+    raw = f"substr({text_expr}, i * {fs} + 1, {fs})"
+    tagged = f"regexp_replace({raw}, '{_pat(terms)}', '{pre}\\1{post}', 'gi')"
+    structs = (
+        f"list_transform(range(0, greatest(cast(ceil(len({text_expr}) / {fs}.0) "
+        f"AS int), 1)), i -> {{'h': -cast((len({tagged}) - len({raw})) / {taglen} "
+        f"AS bigint), 'i': i, 'f': {tagged}}})"
+    )
+    kept = f"list_filter({structs}, s -> struct_extract(s, 'h') < 0)"
+    if order == "score":
+        kept = f"list_sort({kept})"
+    best = f"list_slice({kept}, 1, {int(number_of_fragments)})"
+    joined = (
+        f"array_to_string(list_transform({best}, "
+        f"s -> struct_extract(s, 'f')), '{sep}')"
+    )
+    fallback = (
+        f"substr({text_expr}, 1, {int(no_match_size)})" if no_match_size > 0
+        else "''"
+    )
+    return f"CASE WHEN len({kept}) > 0 THEN {joined} ELSE {fallback} END"

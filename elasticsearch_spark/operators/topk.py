@@ -105,13 +105,17 @@ class IntervalsLeaf:
     (IntervalQueryBuilder.java reg SearchModule.java:835,
     SpanNearQueryBuilder.java reg :804): ordered = exists p1<...<pm with
     pm-p1-(m-1) <= max_gaps; unordered arity 2 pairwise, arity >= 3 via a
-    merged-occurrence-stream minimal-covering-window scan. Arity >= 2
-    chains score 1/(1 + min slop) — the 1/(1+slop) sloppy saturation over
-    the BEST window (IntervalScoreFunction shape); single-term, span_or,
-    and within/containing shapes score 1.0. Documented divergence: Lucene
-    sums 1/(1+slop) over every minimal interval as a freq through the field
-    similarity; doc sets and proximity ordering match, absolute scores
-    need not.
+    merged-occurrence-stream minimal-covering-window scan. Scoring is
+    Lucene's interval freq: the sum of 1/(1 + slop) over the MINIMAL
+    interval set (interval minimization — no kept interval contains
+    another; SpanScorer/IntervalQuery sloppyFreq summation). Single-term
+    shapes (span_term/span_first/span_not) contribute 1 per surviving
+    occurrence (width-0 intervals). Exceptions, documented: non-plain
+    unordered pairs (prefix-expanded / masked / duplicate-term steps)
+    score the best window 1/(1 + min slop); within/containing score 1.0.
+    Remaining divergence: the freq is exposed directly rather than fed
+    through the field similarity, so proximity ordering and freq
+    accumulation match Lucene but absolute calibration differs.
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
@@ -1303,7 +1307,9 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
 
                 def _minslop_scores(occ, slops):
                     # per-doc score = 1/(1 + min slop) over surviving
-                    # occurrences (sloppy saturation of the best window)
+                    # occurrences (best-window fallback — only the non-plain
+                    # unordered-pair shapes still score this way; see
+                    # IntervalsLeaf docstring)
                     hd = occ >> _POS_SHIFT
                     hit, inv = np.unique(hd, return_inverse=True)
                     ms = np.full(len(hit), np.inf)
@@ -1315,6 +1321,22 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     score[ii] = 1.0 / (1.0 + ms)
                     return match, score
 
+                def _sumfreq_scores(occ, slops):
+                    # per-doc score = sum of 1/(1 + slop) over the MINIMAL
+                    # intervals (Lucene sloppyFreq summation — callers pass
+                    # one row per minimal interval)
+                    hd = occ >> _POS_SHIFT
+                    hit, inv = np.unique(hd, return_inverse=True)
+                    pf = np.bincount(
+                        inv, weights=1.0 / (1.0 + slops.astype(np.float64))
+                    )
+                    match = np.zeros(n, dtype=bool)
+                    score = np.zeros(n)
+                    ii = np.searchsorted(docs_u, hit)
+                    match[ii] = True
+                    score[ii] = pf
+                    return match, score
+
                 if m_ == 1:
                     k0 = ks[0]
                     if node.first_end is not None:
@@ -1324,7 +1346,10 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                         ex = [e for e in ex if e is not None and len(e)]
                         if ex:
                             k0 = k0[~np.isin(k0, np.concatenate(ex))]
-                    hit_docs = np.unique(k0 >> _POS_SHIFT)
+                    # each surviving occurrence is a width-0 minimal
+                    # interval: freq = occurrence count (SpanTermQuery /
+                    # span_first / span_not sloppyFreq == 1 per span)
+                    return _sumfreq_scores(k0, np.zeros(len(k0), np.int64))
                 elif node.ordered:
                     # greedy minimal chain per start: the smallest valid
                     # successor at every step minimizes final width, so a
@@ -1366,13 +1391,27 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                             )
                             good = good & ~in_win
                     # greedy end is the minimal end from each start, so
-                    # cur - start - (m-1) is the per-start minimal slop
-                    return _minslop_scores(
-                        start[good], (cur - start - (m_ - 1) - g_total)[good]
-                    )
-                elif m_ > 2:
-                    # unordered arity >= 3 (distinct terms, one field —
-                    # enforced at lowering): merged occurrence stream +
+                    # cur - start - (m-1) is the per-start minimal slop.
+                    # Minimal-INTERVAL set (Lucene interval minimization: no
+                    # kept interval contains another): starts ascend and
+                    # greedy ends are non-decreasing in start, so an interval
+                    # contains exactly the later ones sharing its end — keep
+                    # the largest start per distinct end (= narrowest).
+                    s_, e_ = start[good], cur[good]
+                    sl = (cur - start - (m_ - 1) - g_total)[good]
+                    keep = np.ones(len(e_), dtype=bool)
+                    if len(e_) > 1:
+                        keep[:-1] = e_[:-1] != e_[1:]
+                    return _sumfreq_scores(s_[keep], sl[keep])
+                elif m_ > 2 or (
+                    all(isinstance(t, str) for t in node.terms)
+                    and len(set(node.terms)) == m_
+                    and not node.term_fields
+                ):
+                    # unordered, plain distinct single-field terms (arity
+                    # >= 3 enforced at lowering; arity 2 routed here when
+                    # eligible so pairs get the same freq-sum scoring):
+                    # merged occurrence stream +
                     # running last-seen key per label. The minimal covering
                     # window ending at stream element e is
                     # [min_i last_i(e), e]; scanning every e finds the
@@ -1393,11 +1432,23 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     good = (min_last >= 0) & (
                         (min_last >> _POS_SHIFT) == (allk >> _POS_SHIFT)
                     )
+                    # minimal-interval filter: window i (ending at allk[i],
+                    # starting at min_last[i]) contains an earlier window j
+                    # iff min_last[i] <= min_last[j]; keep i iff its start
+                    # strictly exceeds the running max of previous covered
+                    # starts. Keys carry the ordinal in the high bits, so a
+                    # previous doc's start is always smaller — the running
+                    # max needs no per-doc reset.
+                    int_min = np.iinfo(np.int64).min
+                    st = np.where(good, min_last, int_min)
+                    run = np.maximum.accumulate(st)
+                    prev = np.concatenate(([int_min], run[:-1]))
+                    keep = good & (st > prev)
                     slop = allk - min_last - (m_ - 1)
                     if node.max_gaps >= 0:
-                        good &= slop <= node.max_gaps
-                    return _minslop_scores(allk[good], slop[good])
-                else:  # unordered, pairwise
+                        keep &= slop <= node.max_gaps
+                    return _sumfreq_scores(allk[keep], slop[keep])
+                else:  # unordered pair with prefix/masked/duplicate steps
                     a, barr = ks[0], ks[1]
                     idx = np.searchsorted(barr, a + 1)
                     okr = idx < len(barr)
@@ -1420,9 +1471,6 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                         slop_a[okl] = np.minimum(slop_a[okl], (a - cl - 1)[okl])
                     sel = okr | okl
                     return _minslop_scores(a[sel], slop_a[sel])
-                match = np.zeros(n, dtype=bool)
-                match[np.searchsorted(docs_u, hit_docs)] = True
-                return match, np.where(match, 1.0, 0.0)
             if isinstance(node, ChannelLeaf):
                 m = chan_presence(node.fid, docs_u)
                 if node.const is not None:

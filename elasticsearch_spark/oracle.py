@@ -214,9 +214,11 @@ def _terms_set_sql(field: str, spec: dict, alias: str) -> tuple[str, str]:
 
 
 def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
-    """Twin of plans/query_dsl._intervals (match source). Arity >= 2
-    chains score 1/(1 + min slop) — the sloppy saturation of the best
-    window; single-term and within/containing shapes score 1.0 (slop 0)."""
+    """Twin of plans/query_dsl._intervals (match source). Scoring is the
+    interval freq: sum of 1/(1 + slop) over the MINIMAL interval set
+    (Lucene sloppyFreq summation); single-term shapes score the surviving
+    occurrence count. Exceptions (twin of the engine): non-plain unordered
+    pairs score the best window 1/(1 + min slop); within/containing 1.0."""
     from .functions.analysis import analyze
 
     (field, spec), = body.items()
@@ -308,17 +310,29 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     if m == 0:
         cond = "false"
     elif m == 1:
+        # each surviving occurrence is a width-0 minimal interval: score =
+        # occurrence count (sloppyFreq == 1 per span) — twin of the engine
         p0 = pos(qterms[0], sfields[0])
         if first_end is not None:
             p0 = f"list_filter({p0}, p -> p < {int(first_end)})"
         if not_terms:
-            cond = f"len(list_filter({p0}, p -> NOT list_contains({ex_pos()}, p))) > 0"
-        else:
-            cond = f"len({p0}) > 0"
+            p0 = f"list_filter({p0}, p -> NOT list_contains({ex_pos()}, p))"
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, CAST(len(p) AS DOUBLE) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {p0} AS p
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
+  ) WHERE len(p) > 0
+)"""
+        return c, a
     elif ordered:
         # per-start greedy chain end (smallest valid successor at each step
-        # minimizes the final width — twin of the kernel's greedy chain);
-        # per-doc score = 1/(1 + min slop) over surviving starts
+        # minimizes the final width — twin of the kernel's greedy chain).
+        # Minimal-interval set: ends are non-decreasing in start, so an
+        # interval contains exactly the same-end larger-slop siblings — keep
+        # each (end, slop) pair with no same-end smaller-slop sibling;
+        # score = sum of 1/(1 + slop) over the kept intervals
         end = "p0"
         for i in range(1, m):
             end = (
@@ -333,22 +347,57 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
                 f" AND len(list_filter({ex_pos()}, "
                 f"q -> q >= p0 AND q <= ({end}))) = 0"
             )
-        slops = (
+        pairs = (
             f"list_filter(list_transform({pos(qterms[0], sfields[0])}, "
-            f"p0 -> CASE WHEN {valid} THEN ({end}) - p0 - {m - 1 + gap_total} END), "
-            f"s -> s IS NOT NULL)"
+            f"p0 -> CASE WHEN {valid} THEN {{'e': ({end}), "
+            f"'s': ({end}) - p0 - {m - 1 + gap_total}}} END), "
+            f"x -> x IS NOT NULL)"
         )
-    elif m == 2:
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx,
+         list_sum(list_transform(
+           list_filter(pv, x -> len(list_filter(pv, y ->
+             struct_extract(y, 'e') = struct_extract(x, 'e') AND
+             struct_extract(y, 's') < struct_extract(x, 's'))) = 0),
+           x -> 1.0 / (1 + struct_extract(x, 's')))) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {pairs} AS pv
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
+  ) WHERE len(pv) > 0
+)"""
+        return c, a
+    elif m == 2 and (
+        any(isinstance(t_, dict) for t_ in qterms)
+        or src.get("fields")
+        or len(set(map(str, qterms))) != m
+    ):
+        # non-plain unordered pair (prefix-expanded / masked / duplicate
+        # steps): best-window 1/(1 + min slop) — the one shape still scored
+        # best-window (twin of the engine; plain distinct pairs go through
+        # the merged-stream freq-sum branch below)
         gapf = "" if max_gaps < 0 else f" AND abs(a - b) - 1 <= {max_gaps}"
         slops = (
             f"list_filter(list_transform({pos(qterms[0], sfields[0])}, a -> "
             f"list_min(list_transform(list_filter({pos(qterms[1], sfields[1])}, "
             f"b -> b <> a{gapf}), b -> abs(a - b) - 1))), s -> s IS NOT NULL)"
         )
+        c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, 1.0 / (1 + list_min(slops)) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {{slops}} AS slops
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
+  ) WHERE len(slops) > 0
+)""".replace("{slops}", slops)
+        return c, a
     else:
-        # unordered arity >= 3 — twin of query_dsl._intervals' merged-stream
-        # branch: one row per occurrence, running last-seen position per
-        # label via window max, minimal covering window per doc
+        # unordered plain distinct single-field terms (arity >= 2) — twin of
+        # query_dsl._intervals' merged-stream branch: one row per occurrence,
+        # running last-seen position per label via window max, covering
+        # window [least(lp_i), pos] per stream row. Minimal-interval set:
+        # keep a window iff its start strictly exceeds the running max of
+        # previous covered starts; score = sum of 1/(1 + slop) over kept
         if (
             any(isinstance(t_, dict) for t_ in qterms)
             or src.get("fields")
@@ -373,30 +422,24 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         )
         covered = " AND ".join(f"lp{i} IS NOT NULL" for i in range(m))
         least = "least(" + ", ".join(f"lp{i}" for i in range(m)) + ")"
-        slop_e = f"pos - {least} - {m - 1}"
+        slop_e = f"pos - st - {m - 1}"
         gapf = "" if max_gaps < 0 else f" AND {slop_e} <= {max_gaps}"
         c = f"""
 {a} AS (
-  SELECT conv_id, turn_idx, 1.0 / (1 + min({slop_e})) AS score
-  FROM (SELECT conv_id, turn_idx, pos, {lps} FROM (
-    {unions}))
-  WHERE {covered}{gapf}
+  SELECT conv_id, turn_idx, sum(1.0 / (1 + {slop_e})) AS score
+  FROM (
+    SELECT conv_id, turn_idx, pos, st,
+           max(st) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM (
+      SELECT conv_id, turn_idx, pos,
+             CASE WHEN {covered} THEN {least} END AS st
+      FROM (SELECT conv_id, turn_idx, pos, {lps} FROM (
+        {unions}))
+    )
+  ) WHERE st IS NOT NULL AND (pm IS NULL OR st > pm){gapf}
   GROUP BY conv_id, turn_idx
 )"""
-        return c, a
-    if m >= 2:
-        # sloppy saturation: score = 1/(1 + minimal interval slop), the
-        # IntervalScoreFunction / SloppyPhraseScorer shape over the BEST
-        # window (documented divergence: Lucene sums 1/(1+slop) over every
-        # minimal interval as a freq; we take the best window only)
-        c = f"""
-{a} AS (
-  SELECT conv_id, turn_idx, 1.0 / (1 + list_min(slops)) AS score
-  FROM (
-    SELECT conv_id, turn_idx, {{slops}} AS slops
-    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
-  ) WHERE len(slops) > 0
-)""".replace("{slops}", slops)
         return c, a
     c = f"""
 {a} AS (
@@ -956,6 +999,26 @@ hits AS (
 )
 SELECT h.conv_id, h.turn_idx, h.score,
        {highlight_sql('t.text', terms, fragment_size)} AS fragment
+FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx"""
+
+
+def highlight_fragments_search_sql(
+    query: dict, terms: list[str], k: int = 10, **hl_opts
+) -> str:
+    """Oracle for a top-k search with the multi-fragment highlighter
+    (pre/post tags, number_of_fragments, order="score", no_match_size)."""
+    from .functions.highlight import highlight_fragments_sql
+
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+hits AS (
+  SELECT conv_id, turn_idx, round(score, 4) AS score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT h.conv_id, h.turn_idx, h.score,
+       {highlight_fragments_sql('t.text', terms, **hl_opts)} AS fragments
 FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx"""
 
 

@@ -196,8 +196,9 @@ def _rewrite_span(kind: str, body: dict) -> dict:
     rewrites to the OR match (documented divergence: Lucene scores the merged
     span enumeration, we sum per-term BM25 — same matches, close scores);
     span_near/span_first/span_not map onto the positions-interval machinery
-    scored 1/(1 + min slop) for arity >= 2 chains and 1.0 otherwise (the
-    sloppy-saturation shape; divergence notes on _intervals)."""
+    scored by interval freq — sum of 1/(1 + slop) over the minimal interval
+    set, occurrence count for single-step shapes (the SpanScorer sloppyFreq
+    summation; divergence notes on _intervals)."""
     if kind == "span_term":
         f, ts = _span_terms({kind: body})
         return {"match": {f: {"query": ts[0]}}}
@@ -779,16 +780,19 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     matches when the analyzed terms occur within an interval of width
     max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
 
-    Scoring: arity >= 2 chains score 1/(1 + min slop) — the 1/(1+slop)
-    sloppy saturation (IntervalScoreFunction / SloppyPhraseScorer shape)
-    over the BEST window; single-term and within/containing shapes score
-    1.0 (slop 0). Documented divergence: Lucene sums 1/(1+slop) over every
-    minimal interval as a freq and runs it through the field similarity;
-    we score the best window only, so doc SETS match and proximity ordering
-    matches, absolute scores need not. Ordered matching supports any arity
-    via greedy minimal chains; unordered arity 2 is the pairwise form,
-    arity >= 3 the merged-stream minimal-covering-window form (distinct
-    single-field terms).
+    Scoring is Lucene's interval freq: the sum of 1/(1 + slop) over the
+    MINIMAL interval set (interval minimization — no kept interval contains
+    another; SpanScorer/IntervalQuery sloppyFreq summation). Single-term
+    shapes contribute 1 per surviving occurrence (width-0 intervals).
+    Exceptions, documented: non-plain unordered pairs (prefix-expanded /
+    masked / duplicate-term steps) score the best window 1/(1 + min slop);
+    within/containing score 1.0. Remaining divergence: the freq is exposed
+    directly rather than fed through the field similarity, so proximity
+    ordering and freq accumulation match Lucene but absolute calibration
+    differs. Ordered matching supports any arity via greedy minimal
+    chains; unordered shapes use the merged-stream minimal-covering-window
+    form (plain distinct single-field terms, any arity) or the pairwise
+    form (non-plain pairs).
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -891,19 +895,30 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         return Compiled(scored=scored)
 
     if m == 1:
+        # each surviving occurrence is a width-0 minimal interval: score =
+        # occurrence count (SpanTermQuery/span_first/span_not sloppyFreq ==
+        # 1 per span) — twin of the kernel's m==1 branch
         ps = positions(qterms[0], sfields[0])
         if first_end is not None:
             ps = F.filter(ps, lambda p: p < F.lit(int(first_end)))
         if not_terms:
             ex = ex_positions()
-            hit = F.exists(ps, lambda p: ~F.exists(ex, lambda q2: q2 == p))
-        else:
-            hit = F.size(ps) > 0
+            ps = F.filter(ps, lambda p: ~F.exists(ex, lambda q2: q2 == p))
+        scored = (
+            toks.select(*ctx.key_cols, F.size(ps).alias("_pf"))
+            .where(F.col("_pf") > 0)
+            .select(*ctx.key_cols, F.col("_pf").cast("double").alias("score"))
+        )
+        return Compiled(scored=scored)
     elif ordered:
         # greedy minimal chain per start p0 (the smallest valid successor at
         # each step minimizes the final width, so the greedy end is the
-        # minimal end over all chains from p0); per-doc score = 1/(1 + min
-        # slop) over surviving starts — twin of the kernel and the oracle
+        # minimal end over all chains from p0). Minimal-INTERVAL set: an
+        # interval contains another iff it shares the end with a larger
+        # start (ends are non-decreasing in start), so keep each (end, slop)
+        # pair with no same-end smaller-slop sibling; per-doc score = sum of
+        # 1/(1 + slop) over the kept intervals (Lucene sloppyFreq summation)
+        # — twin of the kernel and the oracle
         def chain_end(p0):
             end = p0
             for i in range(1, m):
@@ -914,7 +929,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                 )
             return end
 
-        def slop_of(p0):
+        def pair_of(p0):
             end = chain_end(p0)
             ok = end.isNotNull()
             if max_gaps >= 0:
@@ -923,20 +938,44 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                 ok = ok & ~F.exists(
                     ex_positions(), lambda q2: (q2 >= p0) & (q2 <= end)
                 )
-            return F.when(ok, end - p0 - (m - 1) - gap_total)
+            return F.when(
+                ok,
+                F.struct(
+                    end.alias("e"),
+                    (end - p0 - (m - 1) - gap_total).alias("s"),
+                ),
+            )
 
-        slops = F.filter(
-            F.transform(positions(qterms[0], sfields[0]), slop_of),
-            lambda s: s.isNotNull(),
+        pairs = F.filter(
+            F.transform(positions(qterms[0], sfields[0]), pair_of),
+            lambda x: x.isNotNull(),
         )
-        min_slop = F.array_min(slops)
-        scored = (
-            toks.select(*ctx.key_cols, min_slop.alias("_ms"))
-            .where(F.col("_ms").isNotNull())
-            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
+        base = toks.select(*ctx.key_cols, pairs.alias("_pv")).where(
+            F.size("_pv") > 0
         )
+        kept = F.filter(
+            F.col("_pv"),
+            lambda x: ~F.exists(
+                F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
+            ),
+        )
+        pf = F.aggregate(
+            kept,
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / (F.lit(1.0) + x["s"]),
+        )
+        scored = base.select(*ctx.key_cols, pf.alias("score"))
         return Compiled(scored=scored)
-    elif m == 2:
+    elif m == 2 and (
+        any(isinstance(t, dict) for t in qterms)
+        or src.get("fields")
+        or len(set(map(str, qterms))) != m
+    ):
+        # non-plain unordered pair (prefix-expanded / masked / duplicate
+        # steps): per-a nearest partner, best-window 1/(1 + min slop) —
+        # the one shape still scored best-window (plain distinct pairs go
+        # through the merged-stream freq-sum branch below); documented on
+        # IntervalsLeaf
         pa = positions(qterms[0], sfields[0])
         pb = positions(qterms[1], sfields[1])
 
@@ -957,12 +996,17 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         )
         return Compiled(scored=scored)
     else:
-        # unordered arity >= 3: merged occurrence stream + running
-        # last-seen position per label (window max); the minimal covering
-        # window ending at each occurrence is [least(last_i), pos], and the
-        # per-doc minimum over stream rows is the global minimal window
-        # (minimum-window-covering). O(total positions), one shuffle —
-        # the naive per-combination form would be O(n^arity) per doc.
+        # unordered, plain distinct single-field terms (arity >= 3, and
+        # arity-2 pairs routed here so both get freq-sum scoring): merged
+        # occurrence stream + running last-seen position per label (window
+        # max); the covering window ending at each occurrence is
+        # [least(last_i), pos]. Minimal-INTERVAL set: window i contains an
+        # earlier window j iff start_i <= start_j (ends ascend with the
+        # stream), so keep i iff its start strictly exceeds the running max
+        # of previous covered starts; per-doc score = sum of 1/(1 + slop)
+        # over the kept windows (Lucene sloppyFreq summation) — twin of the
+        # kernel and the oracle. O(total positions), one shuffle — the
+        # naive per-combination form would be O(n^arity) per doc.
         if (
             any(isinstance(t, dict) for t in qterms)
             or src.get("fields")
@@ -997,19 +1041,34 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         covered = reduce(
             lambda x, y: x & y, [F.col(f"_lp{i}").isNotNull() for i in range(m)]
         )
-        slop = F.col("_pos") - F.least(*[F.col(f"_lp{i}") for i in range(m)]) - (m - 1)
-        valid = covered
+        sentinel = -(1 << 62)
+        ww = ww.select(
+            *ctx.key_cols,
+            "_pos",
+            F.when(
+                covered, F.least(*[F.col(f"_lp{i}") for i in range(m)])
+            ).otherwise(F.lit(sentinel)).alias("_st"),
+        )
+        w_prev = (
+            Window.partitionBy(*ctx.key_cols)
+            .orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ww = ww.select(
+            *ctx.key_cols, "_pos", "_st", F.max("_st").over(w_prev).alias("_pm")
+        )
+        slop = F.col("_pos") - F.col("_st") - (m - 1)
+        keep = (F.col("_st") > F.lit(sentinel)) & (
+            F.col("_pm").isNull() | (F.col("_st") > F.col("_pm"))
+        )
         if max_gaps >= 0:
-            valid = valid & (slop <= F.lit(max_gaps))
+            keep = keep & (slop <= F.lit(max_gaps))
         scored = (
-            ww.where(valid)
+            ww.where(keep)
             .groupBy(*ctx.key_cols)
-            .agg(F.min(slop).alias("_ms"))
-            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
+            .agg(F.sum(F.lit(1.0) / (1 + slop)).alias("score"))
         )
         return Compiled(scored=scored)
-    scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))
-    return Compiled(scored=scored)
 
 
 def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:

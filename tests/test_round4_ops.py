@@ -428,3 +428,73 @@ class TestDvBlockPruning:
             for r in Q.search(transcripts, qd, KEYS, k=10).collect()
         ]
         assert idx == log
+
+
+class TestMultiFragmentHighlighter:
+    """HighlightBuilder breadth: pre/post tags, number_of_fragments,
+    order="score", no_match_size — engine expr vs the DuckDB twin on
+    crafted texts (search/fetch/subphase/highlight/HighlightBuilder.java)."""
+
+    TEXTS = [
+        # three exact fs=20 windows: 1 hit / 0 hits / 2 hits
+        "cat sat on the mat  " "zz filler no hits zz" "cat here and cat too",
+        "no hits anywhere in this text at all, plain filler words only",
+        "cat",
+        "",
+        "xxxxxxxxxxxxxxxxxxx cat",  # hit exactly at a window boundary
+    ]
+
+    def _spark_rows(self, spark, opts):
+        from elasticsearch_spark.functions.highlight import (
+            highlight_fragments_expr,
+        )
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(self.TEXTS)],
+                                   "i int, text string")
+        return {
+            r.i: r.h
+            for r in df.select(
+                "i", highlight_fragments_expr("text", ["cat"], **opts).alias("h")
+            ).collect()
+        }
+
+    def _duck_rows(self, opts):
+        import duckdb
+
+        from elasticsearch_spark.functions.highlight import (
+            highlight_fragments_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i int, text varchar)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        list(enumerate(self.TEXTS)))
+        sql = highlight_fragments_sql("text", ["cat"], **opts)
+        return dict(con.execute(f"SELECT i, {sql} FROM t").fetchall())
+
+    @pytest.mark.parametrize("opts", [
+        {"fragment_size": 20, "number_of_fragments": 3},
+        {"fragment_size": 20, "number_of_fragments": 1, "order": "score"},
+        {"fragment_size": 20, "number_of_fragments": 3, "order": "score",
+         "pre": "<b>", "post": "</b>", "no_match_size": 10},
+    ])
+    def test_twins_agree(self, spark, opts):
+        assert self._spark_rows(spark, opts) == self._duck_rows(opts)
+
+    def test_semantics(self, spark):
+        got = self._spark_rows(
+            spark, {"fragment_size": 20, "number_of_fragments": 3,
+                    "order": "score", "no_match_size": 10})
+        # doc0: window 2 has two hits -> first fragment; window 0 one hit
+        assert got[0] == (
+            "<em>cat</em> here and <em>cat</em> too"
+            " … <em>cat</em> sat on the mat  "
+        )
+        # doc1: no hit -> leading no_match_size chars, untagged
+        assert got[1] == "no hits an"
+        # doc2: single window, single hit
+        assert got[2] == "<em>cat</em>"
+        # doc3: empty text -> empty no-match prefix
+        assert got[3] == ""
+        # doc4: 'cat' starts in window 1 -> tagged there
+        assert got[4] == "<em>cat</em>"

@@ -321,13 +321,50 @@ def test_span_gap_validations(spark):
         Q.normalize_query(_gap_near(["alpha", "gamma", 1], 2))
 
 
-def test_unordered_arity3_minimal_window(spark, tmp_path_factory):
-    # brute-force minimal-covering-window reference on a crafted corpus
-    import datetime
+def brute_interval_freq(text, terms, mg, ordered=False):
+    """Brute-force Lucene interval freq: enumerate every covering combo,
+    reduce to the containment-MINIMAL interval set, filter max_gaps after
+    minimization, sum 1/(1 + slop). Returns None when no interval survives."""
     import itertools
 
+    toks = text.split()
+    pls = [[i for i, tk in enumerate(toks) if tk == t] for t in terms]
+    if any(not p for p in pls):
+        return None
+    ivals = set()
+    for combo in itertools.product(*pls):
+        if ordered and list(combo) != sorted(combo):
+            continue
+        if len(set(combo)) != len(combo):
+            continue
+        ivals.add((min(combo), max(combo)))
+    minimal = {
+        (lo, hi)
+        for lo, hi in ivals
+        if not any(
+            (lo2, hi2) != (lo, hi) and lo <= lo2 and hi2 <= hi
+            for lo2, hi2 in ivals
+        )
+    }
+    kept = [
+        hi - lo - (len(terms) - 1)
+        for lo, hi in minimal
+        if mg < 0 or hi - lo - (len(terms) - 1) <= mg
+    ]
+    if not kept:
+        return None
+    return sum(1.0 / (1 + s) for s in kept)
+
+
+def test_unordered_arity3_minimal_window(spark, tmp_path_factory):
+    # brute-force minimal-interval freq reference on a crafted corpus —
+    # docs 5-8 carry MULTIPLE minimal intervals so the sloppyFreq summation
+    # (not just the best window) is pinned
+    import datetime
+
     texts = {0: "a x b y c", 1: "c b a", 2: "a b", 3: "b x x a q c",
-             4: "c x a b", 5: "a a b c c"}
+             4: "c x a b", 5: "a a b c c", 6: "a b c x a b c",
+             7: "a b c c b a", 8: "c a b x x c a b x a b c"}
     df = spark.createDataFrame(
         [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
          for i, t in texts.items()],
@@ -337,34 +374,67 @@ def test_unordered_arity3_minimal_window(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("unord3"))
     store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
 
-    def brute(text, terms, mg):
-        toks = text.split()
-        pls = [[i for i, tk in enumerate(toks) if tk == t] for t in terms]
-        if any(not p for p in pls):
-            return None
-        best = None
-        for combo in itertools.product(*pls):
-            s = max(combo) - min(combo) - (len(terms) - 1)
-            if 0 <= mg < s:
-                continue
-            best = s if best is None else min(best, s)
-        return best
-
     for mg in (-1, 0, 1, 2, 4):
         spec = {"query": "a b c"}
         if mg >= 0:
             spec["max_gaps"] = mg
         qd = {"intervals": {"text": {"match": spec}}}
         want = {
-            i: round(1.0 / (1 + s), 4)
+            i: round(s, 4)
             for i, t in texts.items()
-            if (s := brute(t, ["a", "b", "c"], mg)) is not None
+            if (s := brute_interval_freq(t, ["a", "b", "c"], mg)) is not None
         }
         gl = {r.turn_idx: round(r.score, 4)
               for r in Q.search(df, qd, KEYS, k=100).collect()}
         gi = {r.turn_idx: round(r.score, 4)
               for r in topk.search_indexed(spark, store, qd, k=100).collect()}
         assert gl == want and gi == want, (mg, want, gl, gi)
+
+
+def test_ordered_freq_sum_multiple_windows(spark, tmp_path_factory):
+    # ordered chains: each (end-minimal) interval contributes 1/(1+slop) —
+    # "a b x a b" has TWO minimal a->b intervals (slop 0 each) -> freq 2.0
+    import datetime
+
+    texts = {0: "a b x a b", 1: "a x b a b", 2: "a b", 3: "b a",
+             4: "a a b b", 5: "a b a b a b"}
+    df = spark.createDataFrame(
+        [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
+         for i, t in texts.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("ordsum"))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+    for mg in (-1, 0, 2):
+        spec = {"query": "a b", "ordered": True}
+        if mg >= 0:
+            spec["max_gaps"] = mg
+        qd = {"intervals": {"text": {"match": spec}}}
+        want = {
+            i: round(s, 4)
+            for i, t in texts.items()
+            if (s := brute_interval_freq(t, ["a", "b"], mg, ordered=True))
+            is not None
+        }
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (mg, want, gl, gi)
+
+
+def test_single_step_scores_occurrence_count(spark, tiny_store):
+    # m == 1 interval shapes: freq = surviving occurrence count (width-0
+    # minimal intervals). doc4 "alpha gamma alpha zeta" has 2 alphas.
+    df, store = tiny_store
+    qd = {"span_first": {"match": {"span_term": {"text": "alpha"}}, "end": 100}}
+    want = {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 2.0, 5: 1.0, 6: 1.0, 7: 1.0,
+            8: 1.0}
+    gl = {r.turn_idx: r.score for r in Q.search(df, qd, KEYS, k=100).collect()}
+    gi = {r.turn_idx: r.score
+          for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+    assert gl == want and gi == want
 
 
 def test_unordered_arity3_validations(spark, tiny_store):
