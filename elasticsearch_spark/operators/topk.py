@@ -112,18 +112,19 @@ class IntervalsLeaf:
     shapes (span_term/span_first/span_not) contribute 1 per surviving
     occurrence (width-0 intervals). Exceptions, documented: non-plain
     unordered pairs (prefix-expanded / masked / duplicate-term steps)
-    score the best window 1/(1 + min slop); within/containing score 1.0.
-    Remaining divergence: the freq is exposed directly rather than fed
-    through the field similarity, so proximity ordering and freq
-    accumulation match Lucene but absolute calibration differs.
+    score the best window 1/(1 + min slop). Remaining divergence: the
+    freq is exposed directly rather than fed through the field similarity,
+    so proximity ordering and freq accumulation match Lucene but absolute
+    calibration differs.
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
     position with any excluded term. within_terms (span_within /
     span_containing, reg :805,809): the single little term must sit inside
     an ordered big chain [pb, pc] with pc-pb-1 <= within_gaps; both builders
-    match the same DOCUMENT set (they differ only in which span stream they
-    emit, invisible at doc granularity — documented divergence)."""
+    match the same DOCUMENT set but score different streams (within_mode):
+    "little" counts enclosed little occurrences, "big" sums 1/(1+slop) over
+    the minimal big spans that contain a little occurrence."""
 
     field: str
     terms: list[str]
@@ -133,6 +134,7 @@ class IntervalsLeaf:
     not_terms: list[str] | None = None
     within_terms: list[str] | None = None
     within_gaps: int = -1
+    within_mode: str = "little"
     # per-step source field (field_masking_span inside span_near,
     # FieldMaskingSpanQueryBuilder reg SearchModule.java:807): step i's
     # positions come from term_fields[i]'s postings; None = all steps on
@@ -836,6 +838,7 @@ class _Lowerer:
                 not_terms=not_terms,
                 within_terms=within_terms,
                 within_gaps=int(src.get("within_gaps", -1)),
+                within_mode=src.get("within_mode", "little"),
                 term_fields=term_fields,
                 gaps=step_gaps,
             )
@@ -1253,15 +1256,81 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 ks = [keys_of(t, node.step_field(i)) for i, t in enumerate(node.terms)]
                 if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
                     return np.zeros(n, dtype=bool), np.zeros(n)
+                def _minslop_scores(occ, slops):
+                    # per-doc score = 1/(1 + min slop) over surviving
+                    # occurrences (best-window fallback — only the non-plain
+                    # unordered-pair shapes still score this way; see
+                    # IntervalsLeaf docstring)
+                    hd = occ >> _POS_SHIFT
+                    hit, inv = np.unique(hd, return_inverse=True)
+                    ms = np.full(len(hit), np.inf)
+                    np.minimum.at(ms, inv, slops.astype(np.float64))
+                    match = np.zeros(n, dtype=bool)
+                    score = np.zeros(n)
+                    ii = np.searchsorted(docs_u, hit)
+                    match[ii] = True
+                    score[ii] = 1.0 / (1.0 + ms)
+                    return match, score
+
+                def _sumfreq_scores(occ, slops):
+                    # per-doc score = sum of 1/(1 + slop) over the MINIMAL
+                    # intervals (Lucene sloppyFreq summation — callers pass
+                    # one row per minimal interval)
+                    hd = occ >> _POS_SHIFT
+                    hit, inv = np.unique(hd, return_inverse=True)
+                    pf = np.bincount(
+                        inv, weights=1.0 / (1.0 + slops.astype(np.float64))
+                    )
+                    match = np.zeros(n, dtype=bool)
+                    score = np.zeros(n)
+                    ii = np.searchsorted(docs_u, hit)
+                    match[ii] = True
+                    score[ii] = pf
+                    return match, score
+
                 if node.within_terms is not None:
-                    # span_within / span_containing: little occurrence q must
-                    # sit inside a big chain. The minimal-width ENCLOSING pair
-                    # is (max pb <= q, min pc >= q), so if that pair violates
-                    # within_gaps no other enclosing pair can satisfy it.
                     q = ks[0]
                     wks = [keys_of(t) for t in node.within_terms]
                     if any(w is None or not len(w) for w in wks):
                         return np.zeros(n, dtype=bool), np.zeros(n)
+                    if node.within_mode == "big":
+                        # span_containing scores the BIG span stream: minimal
+                        # big spans (per-start greedy end + same-end dedup,
+                        # the ordered-chain convention) that contain a little
+                        # occurrence each contribute 1/(1 + slop)
+                        if len(wks) == 1:
+                            # width-0 big spans: contain a little iff they
+                            # share its position; slop 0
+                            inter = wks[0][np.isin(wks[0], q)]
+                            return _sumfreq_scores(
+                                inter, np.zeros(len(inter), np.int64)
+                            )
+                        barr, carr = wks[0], wks[1]
+                        idx = np.searchsorted(carr, barr + 1)
+                        ok = idx < len(carr)
+                        e = carr[np.minimum(idx, len(carr) - 1)]
+                        ok &= (e >> _POS_SHIFT) == (barr >> _POS_SHIFT)
+                        s_, e_ = barr[ok], e[ok]
+                        sl = e_ - s_ - 1
+                        keep = np.ones(len(e_), dtype=bool)
+                        if len(e_) > 1:
+                            keep[:-1] = e_[:-1] != e_[1:]
+                        if node.within_gaps >= 0:
+                            keep &= sl <= node.within_gaps
+                        # containment: first little occurrence >= start must
+                        # not exceed the end (keys pack ordinal|pos, so a
+                        # numeric hit is automatically same-doc)
+                        iq = np.searchsorted(q, s_)
+                        has = (iq < len(q)) & (
+                            q[np.minimum(iq, len(q) - 1)] <= e_
+                        )
+                        keep &= has
+                        return _sumfreq_scores(s_[keep], sl[keep])
+                    # span_within scores the LITTLE span stream: each
+                    # enclosed little occurrence is a width-0 span (freq 1).
+                    # The minimal-width ENCLOSING pair is (max pb <= q,
+                    # min pc >= q), so if that pair violates within_gaps no
+                    # other enclosing pair can satisfy it.
                     if len(wks) == 1:
                         # big = single-term span [pb, pb]: q must equal pb
                         good = np.isin(q, wks[0])
@@ -1300,42 +1369,8 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                                 _pair_ok(okb2, pb2, okc, pc)
                                 | _pair_ok(okb, pb, okc2, pc2)
                             )
-                    hit_docs = np.unique(q[good] >> _POS_SHIFT)
-                    match = np.zeros(n, dtype=bool)
-                    match[np.searchsorted(docs_u, hit_docs)] = True
-                    return match, np.where(match, 1.0, 0.0)
-
-                def _minslop_scores(occ, slops):
-                    # per-doc score = 1/(1 + min slop) over surviving
-                    # occurrences (best-window fallback — only the non-plain
-                    # unordered-pair shapes still score this way; see
-                    # IntervalsLeaf docstring)
-                    hd = occ >> _POS_SHIFT
-                    hit, inv = np.unique(hd, return_inverse=True)
-                    ms = np.full(len(hit), np.inf)
-                    np.minimum.at(ms, inv, slops.astype(np.float64))
-                    match = np.zeros(n, dtype=bool)
-                    score = np.zeros(n)
-                    ii = np.searchsorted(docs_u, hit)
-                    match[ii] = True
-                    score[ii] = 1.0 / (1.0 + ms)
-                    return match, score
-
-                def _sumfreq_scores(occ, slops):
-                    # per-doc score = sum of 1/(1 + slop) over the MINIMAL
-                    # intervals (Lucene sloppyFreq summation — callers pass
-                    # one row per minimal interval)
-                    hd = occ >> _POS_SHIFT
-                    hit, inv = np.unique(hd, return_inverse=True)
-                    pf = np.bincount(
-                        inv, weights=1.0 / (1.0 + slops.astype(np.float64))
-                    )
-                    match = np.zeros(n, dtype=bool)
-                    score = np.zeros(n)
-                    ii = np.searchsorted(docs_u, hit)
-                    match[ii] = True
-                    score[ii] = pf
-                    return match, score
+                    kq = q[good]
+                    return _sumfreq_scores(kq, np.zeros(len(kq), np.int64))
 
                 if m_ == 1:
                     k0 = ks[0]

@@ -285,25 +285,64 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
     within_q = src.get("within_query")
     if within_q:
         # twin of _intervals' within branch (span_within / span_containing):
-        # little occurrence q enclosed by a big ordered chain [pb, pc]
+        # little occurrence q enclosed by a big ordered chain [pb, pc].
+        # within_mode "little" counts enclosed little occurrences; "big"
+        # sums 1/(1+slop) over minimal big spans containing a little
         wt = analyze(within_q)
         wg = int(src.get("within_gaps", -1))
+        mode = src.get("within_mode", "little")
         pq = pos(qterms[0])
-        if len(wt) == 1:
-            cond = f"len(list_filter({pq}, q -> list_contains({pos(wt[0])}, q))) > 0"
+        if mode == "little":
+            if len(wt) == 1:
+                kp = f"list_filter({pq}, q -> list_contains({pos(wt[0])}, q))"
+            else:
+                gap = "true" if wg < 0 else f"pc - pb - 1 <= {wg}"
+                kp = (
+                    f"list_filter({pq}, q -> "
+                    f"len(list_filter({pos(wt[0])}, pb -> pb <= q AND "
+                    f"len(list_filter({pos(wt[1])}, pc -> pc >= q AND pc > pb "
+                    f"AND {gap})) > 0)) > 0)"
+                )
+        elif len(wt) == 1:
+            # width-0 big spans: contain a little iff they share its position
+            kp = f"list_filter({pos(wt[0])}, pb -> list_contains({pq}, pb))"
         else:
-            gap = "true" if wg < 0 else f"pc - pb - 1 <= {wg}"
-            cond = (
-                f"len(list_filter({pq}, q -> "
-                f"len(list_filter({pos(wt[0])}, pb -> pb <= q AND "
-                f"len(list_filter({pos(wt[1])}, pc -> pc >= q AND pc > pb "
-                f"AND {gap})) > 0)) > 0)) > 0"
+            pairs = (
+                f"list_filter(list_transform({pos(wt[0])}, pb -> "
+                f"{{'e': list_min(list_filter({pos(wt[1])}, p -> p > pb)), "
+                f"'b': pb}}), x -> struct_extract(x, 'e') IS NOT NULL)"
             )
+            gapf = (
+                "" if wg < 0
+                else f" AND struct_extract(x, 'e') - struct_extract(x, 'b') - 1 <= {wg}"
+            )
+            kept = (
+                f"list_filter(list_filter({pairs}, x -> "
+                f"len(list_filter({pairs}, y -> "
+                f"struct_extract(y, 'e') = struct_extract(x, 'e') AND "
+                f"struct_extract(y, 'b') > struct_extract(x, 'b'))) = 0"
+                f"{gapf}), x -> len(list_filter({pq}, q -> "
+                f"q >= struct_extract(x, 'b') AND "
+                f"q <= struct_extract(x, 'e'))) > 0)"
+            )
+            c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx,
+         list_sum(list_transform(kp, x ->
+           1.0 / (struct_extract(x, 'e') - struct_extract(x, 'b')))) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {kept} AS kp
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
+  ) WHERE len(kp) > 0
+)"""
+            return c, a
         c = f"""
 {a} AS (
-  SELECT conv_id, turn_idx, 1.0 AS score
-  FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
-  WHERE {cond}
+  SELECT conv_id, turn_idx, CAST(len(kp) AS DOUBLE) AS score
+  FROM (
+    SELECT conv_id, turn_idx, {kp} AS kp
+    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
+  ) WHERE len(kp) > 0
 )"""
         return c, a
 

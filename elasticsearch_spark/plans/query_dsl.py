@@ -319,9 +319,12 @@ def _rewrite_span(kind: str, body: dict) -> dict:
     if kind in ("span_within", "span_containing"):
         # SpanWithinQueryBuilder reg :805 / SpanContainingQueryBuilder reg
         # :809: little span enclosed by a big span. At document granularity
-        # the two match the SAME set (they differ only in which span stream
-        # feeds outer span algebra, which we don't compose) — divergence
-        # documented; both rewrite to the containment intervals source.
+        # the two match the SAME set; they differ in which span stream is
+        # scored (within_mode): span_within scores the LITTLE spans (freq =
+        # count of enclosed little occurrences, sloppyFreq 1 per single-term
+        # span), span_containing the BIG spans (freq = Σ 1/(1+slop) over
+        # minimal big spans containing a little). Both rewrite to the
+        # containment intervals source.
         f_l, lts = _span_terms(body["little"])
         if len(lts) != 1:
             raise ValueError("span_within/containing little must be a span_term")
@@ -354,6 +357,9 @@ def _rewrite_span(kind: str, body: dict) -> dict:
                         "query": lts[0],
                         "within_query": " ".join(bts),
                         "within_gaps": gaps,
+                        "within_mode": (
+                            "little" if kind == "span_within" else "big"
+                        ),
                     }
                 }
             }
@@ -864,34 +870,96 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     within_q = src.get("within_query")
     if within_q:
         # span_within / span_containing: little (single term) occurrence q
-        # inside a big ordered chain [pb, pc] with pc-pb-1 <= within_gaps;
-        # at doc granularity both builders match the same set (divergence
-        # documented on IntervalsLeaf)
+        # inside a big ordered chain [pb, pc] with pc-pb-1 <= within_gaps.
+        # within_mode picks the scored stream (SpanWithin vs SpanContaining):
+        # "little" counts enclosed little occurrences (sloppyFreq 1 per
+        # single-term span); "big" sums 1/(1+slop) over the minimal big
+        # spans (per-start greedy ends, same-end dedup — the ordered-chain
+        # convention) that contain a little occurrence.
         wterms = analysis.analyze(within_q)
         if m != 1 or not 1 <= len(wterms) <= 2:
             raise ValueError("within_query needs single little term, big arity <= 2")
         wg = int(src.get("within_gaps", -1))
+        mode = src.get("within_mode", "little")
         lps = positions(qterms[0])
+        if mode == "little":
+            if len(wterms) == 1:
+                wp = positions(wterms[0])
+                kp = F.filter(
+                    lps, lambda q2: F.exists(wp, lambda pb: pb == q2)
+                )
+            else:
+                pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
+
+                def enclosed(q2):
+                    def pair_ok(pb):
+                        def end_ok(pc):
+                            c = (pc >= q2) & (pc > pb)
+                            if wg >= 0:
+                                c = c & (pc - pb - 1 <= wg)
+                            return c
+
+                        return (pb <= q2) & F.exists(pc_a, end_ok)
+
+                    return F.exists(pb_a, pair_ok)
+
+                kp = F.filter(lps, enclosed)
+            scored = (
+                toks.select(*ctx.key_cols, F.size(kp).alias("_pf"))
+                .where(F.col("_pf") > 0)
+                .select(
+                    *ctx.key_cols, F.col("_pf").cast("double").alias("score")
+                )
+            )
+            return Compiled(scored=scored)
         if len(wterms) == 1:
+            # big spans are width-0 single occurrences: containing a little
+            # iff they share its position; each contributes 1
             wp = positions(wterms[0])
-            hit = F.exists(lps, lambda q2: F.exists(wp, lambda pb: pb == q2))
-        else:
-            pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
+            kp = F.filter(wp, lambda pb: F.exists(lps, lambda q2: q2 == pb))
+            scored = (
+                toks.select(*ctx.key_cols, F.size(kp).alias("_pf"))
+                .where(F.col("_pf") > 0)
+                .select(
+                    *ctx.key_cols, F.col("_pf").cast("double").alias("score")
+                )
+            )
+            return Compiled(scored=scored)
+        pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
 
-            def enclosed(q2):
-                def pair_ok(pb):
-                    def end_ok(pc):
-                        c = (pc >= q2) & (pc > pb)
-                        if wg >= 0:
-                            c = c & (pc - pb - 1 <= wg)
-                        return c
+        def big_pair(pb):
+            e = F.array_min(F.filter(pc_a, lambda p: p > pb))
+            ok = e.isNotNull()
+            return F.when(
+                ok, F.struct(e.alias("e"), (e - pb - 1).alias("s"), pb.alias("b"))
+            )
 
-                    return (pb <= q2) & F.exists(pc_a, end_ok)
-
-                return F.exists(pb_a, pair_ok)
-
-            hit = F.exists(lps, enclosed)
-        scored = toks.where(hit).select(*ctx.key_cols, F.lit(1.0).alias("score"))
+        pairs = F.filter(
+            F.transform(pb_a, big_pair), lambda x: x.isNotNull()
+        )
+        base = toks.select(*ctx.key_cols, pairs.alias("_pv"), lps.alias("_lp"))
+        kept = F.filter(
+            F.col("_pv"),
+            lambda x: ~F.exists(
+                F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
+            ),
+        )
+        if wg >= 0:
+            kept = F.filter(kept, lambda x: x["s"] <= F.lit(wg))
+        kept = F.filter(
+            kept,
+            lambda x: F.exists(
+                F.col("_lp"), lambda q2: (q2 >= x["b"]) & (q2 <= x["e"])
+            ),
+        )
+        pf = F.aggregate(
+            kept, F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / (F.lit(1.0) + x["s"]),
+        )
+        scored = (
+            base.select(*ctx.key_cols, pf.alias("score"))
+            .where(F.col("score") > 0)
+        )
         return Compiled(scored=scored)
 
     if m == 1:

@@ -158,8 +158,9 @@ def test_span_within_endpoint_inclusive(spark, tiny_store):
 
 
 def test_span_containing_matches_same_docs(spark, tiny_store):
-    # at doc granularity span_containing == span_within (documented divergence:
-    # we emit docs, not span streams)
+    # on THIS corpus the doc sets coincide (every enclosing pair here is
+    # minimal); test_within_containing_score_streams pins the case where the
+    # streams diverge
     w = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2))
     c = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2, "span_containing"))
     assert w == c
@@ -444,3 +445,58 @@ def test_unordered_arity3_validations(spark, tiny_store):
     dup = {"intervals": {"text": {"match": {"query": "a b a"}}}}
     with pytest.raises(ValueError, match="distinct"):
         Q.search(df, dup, KEYS, k=10).collect()
+
+
+def test_within_containing_score_streams(spark, tmp_path_factory):
+    # span_within scores the little stream (count of enclosed occurrences);
+    # span_containing scores the big stream (sum 1/(1+slop) over minimal big
+    # spans containing a little). doc1 pins the stream asymmetry: beta is
+    # enclosed by SOME alpha..gamma pair, but no MINIMAL big span contains it.
+    import datetime
+
+    texts = {
+        0: "alpha beta gamma",
+        1: "alpha gamma beta gamma",
+        2: "alpha beta gamma alpha beta gamma",
+        3: "beta alpha gamma",
+        4: "no match here",
+    }
+    df = spark.createDataFrame(
+        [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
+         for i, t in texts.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("withsc"))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+
+    def qd(kind):
+        return {
+            kind: {
+                "little": {"span_term": {"text": "beta"}},
+                "big": {
+                    "span_near": {
+                        "clauses": [
+                            {"span_term": {"text": "alpha"}},
+                            {"span_term": {"text": "gamma"}},
+                        ],
+                        "slop": 3,
+                        "in_order": True,
+                    }
+                },
+            }
+        }
+
+    for kind, want in [
+        # within: doc0 one enclosed beta; doc1 beta enclosed by [0,3];
+        # doc2 two enclosed betas
+        ("span_within", {0: 1.0, 1: 1.0, 2: 2.0}),
+        # containing: doc0 [0,2] slop 1 -> 0.5; doc1 minimal span [0,1]
+        # misses beta; doc2 [0,2]+[3,5] -> 1.0
+        ("span_containing", {0: 0.5, 2: 1.0}),
+    ]:
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd(kind), KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd(kind), k=100).collect()}
+        assert gl == want and gi == want, (kind, want, gl, gi)
