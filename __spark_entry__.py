@@ -120,6 +120,8 @@ R4_WINDOW = [
     "search_span_not", "indexed_span_not",
     "search_intervals_ordered", "indexed_intervals_ordered",
     "search_intervals_unordered", "indexed_intervals_unordered",
+    # new hand-written independent oracles (different algebra per docstring)
+    "hand_dis_max", "hand_match_msm", "hand_span_near",
 ]
 
 

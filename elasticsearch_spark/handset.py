@@ -14,7 +14,15 @@ hand with different algebra and query structure:
   * flat single-pass tf computation (list_filter counts) instead of the
     generator's unnest/join CTE chain,
   * phrase freq counted by adjacent-index list_filter instead of the
-    generated position-join.
+    generated position-join,
+  * dis_max tie_breaker as greatest/least algebra over coalesced clause
+    scores (DisMaxQueryBuilder: best + tb * sum(others)),
+  * minimum_should_match as boolean-arithmetic clause counting,
+  * span_near interval freq derived per-END (each trailing-term occurrence
+    pairs with its closest preceding lead occurrence; same-start pairs keep
+    the smallest end) — the engine and the generated oracle both work
+    per-START with greedy chains; the two minimal-interval constructions
+    provably coincide, so agreement pins the sloppyFreq summation.
 Only the data derivation (transcripts view) and the analyzer's token regex
 are shared — they define the input contract, not the scoring semantics.
 """
@@ -49,6 +57,25 @@ HAND_QUERIES: dict[str, dict] = {
     "hand_match_or": {"match": {"text": "spark fast"}},
     "hand_match_and": {"match": {"text": {"query": "join table", "operator": "and"}}},
     "hand_match_phrase": {"match_phrase": {"text": "table hash"}},
+    "hand_dis_max": {
+        "dis_max": {
+            "queries": [{"match": {"text": "spark"}}, {"match": {"text": "fast"}}],
+            "tie_breaker": 0.3,
+        }
+    },
+    "hand_match_msm": {
+        "match": {"text": {"query": "spark join fast", "minimum_should_match": 2}}
+    },
+    "hand_span_near": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "hash"}},
+                {"span_term": {"text": "join"}},
+            ],
+            "slop": 3,
+            "in_order": True,
+        }
+    },
 }
 
 
@@ -97,10 +124,109 @@ SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
 ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
 
 
+def _dis_max_sql(t1: str, t2: str, tb: float) -> str:
+    # DisMaxQueryBuilder: score = best + tie_breaker * sum(others) —
+    # written here as greatest/least algebra over two hand-derived BM25s
+    s1 = f"(CASE WHEN tf1 > 0 THEN {_bm25('tf1', _idf('df1'))} ELSE NULL END)"
+    s2 = f"(CASE WHEN tf2 > 0 THEN {_bm25('tf2', _idf('df2'))} ELSE NULL END)"
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+tf AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              len(list_filter(toks, x -> x = '{t1}')) AS tf1,
+              len(list_filter(toks, x -> x = '{t2}')) AS tf2
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+      FROM tf)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         greatest(coalesce({s1}, 0), coalesce({s2}, 0)) +
+         {tb} * (coalesce({s1}, 0) + coalesce({s2}, 0)
+                 - greatest(coalesce({s1}, 0), coalesce({s2}, 0))) AS score
+  FROM tf, g WHERE tf1 > 0 OR tf2 > 0)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+def _match_msm_sql(t1: str, t2: str, t3: str, msm: int) -> str:
+    # minimum_should_match: count matching clauses by boolean arithmetic,
+    # keep docs with >= msm, score = sum of the matching clauses' BM25s
+    parts = []
+    for i in (1, 2, 3):
+        parts.append(
+            f"(CASE WHEN tf{i} > 0 THEN {_bm25(f'tf{i}', _idf(f'df{i}'))} ELSE 0 END)"
+        )
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+tf AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              len(list_filter(toks, x -> x = '{t1}')) AS tf1,
+              len(list_filter(toks, x -> x = '{t2}')) AS tf2,
+              len(list_filter(toks, x -> x = '{t3}')) AS tf3
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+             count(CASE WHEN tf3 > 0 THEN 1 END) AS df3
+      FROM tf)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx, {' + '.join(parts)} AS score
+  FROM tf, g
+  WHERE (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) >= {msm})
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+def _span_near_pair_sql(t1: str, t2: str, slop: int) -> str:
+    # Interval freq for an ordered pair, derived per-END (the engine and the
+    # generated oracle both work per-START with greedy chains): each t2
+    # occurrence q pairs with the CLOSEST preceding t1 occurrence p; among
+    # pairs sharing a start keep the smallest end (minimal-interval set —
+    # provably the same set as the per-start form); drop pairs wider than
+    # slop AFTER minimization; score = sum of 1/(1 + (q - p - 1)) = 1/(q-p)
+    pairs = (
+        f"list_filter(list_transform(p2, q -> "
+        f"{{'p': list_max(list_filter(p1, p -> p < q)), 'q': q}}), "
+        f"x -> struct_extract(x, 'p') IS NOT NULL)"
+    )
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+ps AS (SELECT conv_id, turn_idx,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t1}'), i -> i - 1) AS p1,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t2}'), i -> i - 1) AS p2
+       FROM tok),
+pv AS (SELECT conv_id, turn_idx, {pairs} AS pairs FROM ps),
+kept AS (SELECT conv_id, turn_idx,
+                list_filter(
+                  list_filter(pairs, x -> len(list_filter(pairs, y ->
+                    struct_extract(y, 'p') = struct_extract(x, 'p') AND
+                    struct_extract(y, 'q') < struct_extract(x, 'q'))) = 0),
+                  x -> struct_extract(x, 'q') - struct_extract(x, 'p') - 1
+                       <= {slop}) AS kp
+         FROM pv)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         list_sum(list_transform(kp, x ->
+           1.0 / (struct_extract(x, 'q') - struct_extract(x, 'p')))) AS score
+  FROM kept WHERE len(kp) > 0)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
 HAND_ORACLE_SQL = {
     "hand_match_or": _match_or_sql("spark", "fast", require_both=False),
     "hand_match_and": _match_or_sql("join", "table", require_both=True),
     "hand_match_phrase": _match_phrase_sql("table", "hash"),
+    "hand_dis_max": _dis_max_sql("spark", "fast", 0.3),
+    "hand_match_msm": _match_msm_sql("spark", "join", "fast", 2),
+    "hand_span_near": _span_near_pair_sql("hash", "join", 3),
 }
 
 
