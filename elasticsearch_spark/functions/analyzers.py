@@ -150,6 +150,8 @@ def _apply_filter(toks: Column, f) -> Column:
                 toks, lambda t: F.coalesce(F.element_at(m, t), F.array(t))
             )
         )
+    if name == "trim":
+        return F.transform(toks, F.trim)
     if name == "stemmer":
         lang = params.get("language", "minimal_english")
         if lang == "porter":
@@ -219,6 +221,61 @@ def _porter_udf():
     return pandas_udf(_stem, ArrayType(StringType()))
 
 
+# ------------------------------------------------------------ char filters
+# HTMLStripCharFilterFactory / MappingCharFilterFactory /
+# PatternReplaceCharFilterFactory (modules/analysis-common) — applied to the
+# raw string BEFORE tokenization. Entity decode order is fixed (amp last) and
+# identical in both twins.
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def _apply_char_filter(c: Column, f) -> Column:
+    name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+    if name == "html_strip":
+        c = F.regexp_replace(c, r"<[^>]*>", " ")
+        for ent, ch in _HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+    if name == "mapping":
+        for rule in params.get("mappings", []):
+            if "=>" not in rule:
+                raise ValueError(f"bad mapping rule: {rule!r}")
+            k, v = (s.strip() for s in rule.split("=>", 1))
+            c = F.replace(c, F.lit(k), F.lit(v))
+        return c
+    if name == "pattern_replace":
+        # pattern must be valid in BOTH Java and Python regex dialects (the
+        # driver-side twin uses `re`); keep to the shared common subset
+        return F.regexp_replace(
+            c, params["pattern"], params.get("replacement", "")
+        )
+    raise ValueError(f"unknown char filter: {name}")
+
+
+def _py_char_filter(text: str, f) -> str:
+    import re
+
+    name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+    if name == "html_strip":
+        text = re.sub(r"<[^>]*>", " ", text)
+        for ent, ch in _HTML_ENTITIES:
+            text = text.replace(ent, ch)
+        return text
+    if name == "mapping":
+        for rule in params.get("mappings", []):
+            if "=>" not in rule:
+                raise ValueError(f"bad mapping rule: {rule!r}")
+            k, v = (s.strip() for s in rule.split("=>", 1))
+            text = text.replace(k, v)
+        return text
+    if name == "pattern_replace":
+        return re.sub(params["pattern"], params.get("replacement", ""), text)
+    raise ValueError(f"unknown char filter: {name}")
+
+
 # --------------------------------------------------------------- analyzers
 BUILTIN_ANALYZERS: dict[str, dict] = {
     "standard": {"tokenizer": "standard", "filters": ["lowercase"]},
@@ -252,6 +309,8 @@ def tokens(text: Column | str, analyzer: str | dict = "standard") -> Column:
     """array<string> of tokens for `text` under the named/custom analyzer."""
     spec = resolve(analyzer)
     c = F.col(text) if isinstance(text, str) else text
+    for f in spec.get("char_filters", []):
+        c = _apply_char_filter(c, f)
     toks = _tokenize(c, spec)
     for f in spec.get("filters", []):
         toks = _apply_filter(toks, f)
@@ -265,6 +324,8 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
     import re
 
     spec = resolve(analyzer)
+    for f in spec.get("char_filters", []):
+        text = _py_char_filter(text, f)
     kind = spec.get("tokenizer", "standard")
     if kind == "standard":
         toks = _py_alnum(text)
@@ -313,6 +374,11 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
         elif name == "truncate":
             ln = int(params.get("length", 10))
             toks = [t[:ln] for t in toks]
+        elif name == "trim":
+            # space-only, matching the executor-side F.trim (Spark trims
+            # ' ' specifically; Lucene TrimFilter trims all whitespace —
+            # twin agreement wins, divergence only for exotic tokenizers)
+            toks = [t.strip(" ") for t in toks]
         elif name == "shingle":
             mn = int(params.get("min_shingle_size", 2))
             mx = int(params.get("max_shingle_size", 2))

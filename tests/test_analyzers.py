@@ -12,6 +12,7 @@ from elasticsearch_spark.operators.suggest import analyze_api
 
 SAMPLES = [
     "The quick brown foxes are jumping over lazy dogs",
+    "<p>Hello &amp; welcome to <b>Spark</b>!</p> &lt;tag&gt;",
     "  spark-SQL   joins: hash_join vs sort-merge!  ",
     "cafés àéîõü résumé naïve",
     "a",
@@ -51,7 +52,28 @@ CHAINS = [
             {"type": "stemmer", "language": "porter"},
         ],
     },
+    # round 4: char filters (html_strip / mapping / pattern_replace) + trim
+    {
+        "char_filters": ["html_strip"],
+        "tokenizer": "standard",
+        "filters": ["lowercase"],
+    },
+    {
+        "char_filters": [
+            {"type": "mapping", "mappings": ["- => _", "& => and"]},
+            {"type": "pattern_replace", "pattern": "[0-9]+", "replacement": "N"},
+        ],
+        "tokenizer": "whitespace",
+        "filters": ["lowercase", "trim"],
+    },
 ]
+
+
+def test_html_strip_semantics():
+    chain = {"char_filters": ["html_strip"], "tokenizer": "whitespace",
+             "filters": []}
+    got = analyzers.analyze_text("<p>a &amp; b</p> &lt;x&gt;", chain)
+    assert got == ["a", "&", "b", "<x>"]
 
 
 @pytest.mark.parametrize("ci", range(len(CHAINS)))
