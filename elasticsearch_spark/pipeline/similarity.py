@@ -159,12 +159,31 @@ def ivf_index(
 
 
 def _assign(emb: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
-    best = None
-    for ci, c in enumerate(cents):
-        cos = cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        s = F.struct(F.round(cos, 9).alias("c"), F.lit(-ci).alias("negci"))
-        best = s if best is None else F.when(s > best, s).otherwise(best)
-    return emb.select("*", (-best["negci"]).cast("int").alias("cluster"))
+    """Nearest-centroid assignment via a broadcast numpy matmul (Arrow
+    batches): one (batch x dim) @ (dim x n_centroids) product per batch, so
+    expression size is independent of n_centroids — the earlier per-centroid
+    nested-CASE expression hit Catalyst codegen limits past a few hundred
+    centroids. Ties keep the lowest centroid index (first argmax), matching
+    the previous strictly-greater CASE chain; cosine rounded to 9 dp before
+    the argmax exactly as before."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64).T  # (dim, n_centroids)
+    cn = np.linalg.norm(C, axis=0)
+
+    def _best_cluster(v):
+        M = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        if M.size == 0:
+            return pd.Series(np.zeros(len(v), dtype=np.int32))
+        sims = (M @ C) / (np.linalg.norm(M, axis=1, keepdims=True) * cn)
+        # np.argmax returns the FIRST max; all-NaN rows (zero-norm vectors)
+        # also resolve to index 0 — both match the old CASE-chain semantics
+        return pd.Series(np.argmax(np.round(sims, 9), axis=1).astype(np.int32))
+
+    best_cluster = pandas_udf(_best_cluster, "int")
+    return emb.select("*", best_cluster(F.col(vec_col)).alias("cluster"))
 
 
 def ivf_topk(
