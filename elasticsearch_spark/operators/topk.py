@@ -104,18 +104,18 @@ class IntervalsLeaf:
     """intervals `match` source / span_near positions algebra
     (IntervalQueryBuilder.java reg SearchModule.java:835,
     SpanNearQueryBuilder.java reg :804): ordered = exists p1<...<pm with
-    pm-p1-(m-1) <= max_gaps; unordered arity 2 pairwise, arity >= 3 via a
-    merged-occurrence-stream minimal-covering-window scan. Scoring is
-    Lucene's interval freq: the sum of 1/(1 + slop) over the MINIMAL
-    interval set (interval minimization — no kept interval contains
-    another; SpanScorer/IntervalQuery sloppyFreq summation). Single-term
-    shapes (span_term/span_first/span_not) contribute 1 per surviving
-    occurrence (width-0 intervals). Exceptions, documented: non-plain
-    unordered pairs (prefix-expanded / masked / duplicate-term steps)
-    score the best window 1/(1 + min slop). Remaining divergence: the
-    freq is exposed directly rather than fed through the field similarity,
-    so proximity ordering and freq accumulation match Lucene but absolute
-    calibration differs.
+    pm-p1-(m-1) <= max_gaps; unordered = plain distinct terms via a
+    merged-occurrence-stream minimal-covering-window scan (any arity),
+    non-plain pairs (prefix-expanded / masked / duplicate-term steps, where
+    the two occurrence sets may OVERLAP) via per-end minimal windows.
+    Scoring is Lucene's interval freq on EVERY shape: the sum of
+    1/(1 + slop) over the MINIMAL interval set (interval minimization — no
+    kept interval contains another; SpanScorer/IntervalQuery sloppyFreq
+    summation). Single-term shapes (span_term/span_first/span_not)
+    contribute 1 per surviving occurrence (width-0 intervals). Remaining
+    divergence: the freq is exposed directly rather than fed through the
+    field similarity, so proximity ordering and freq accumulation match
+    Lucene but absolute calibration differs.
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
@@ -1256,22 +1256,6 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 ks = [keys_of(t, node.step_field(i)) for i, t in enumerate(node.terms)]
                 if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
                     return np.zeros(n, dtype=bool), np.zeros(n)
-                def _minslop_scores(occ, slops):
-                    # per-doc score = 1/(1 + min slop) over surviving
-                    # occurrences (best-window fallback — only the non-plain
-                    # unordered-pair shapes still score this way; see
-                    # IntervalsLeaf docstring)
-                    hd = occ >> _POS_SHIFT
-                    hit, inv = np.unique(hd, return_inverse=True)
-                    ms = np.full(len(hit), np.inf)
-                    np.minimum.at(ms, inv, slops.astype(np.float64))
-                    match = np.zeros(n, dtype=bool)
-                    score = np.zeros(n)
-                    ii = np.searchsorted(docs_u, hit)
-                    match[ii] = True
-                    score[ii] = 1.0 / (1.0 + ms)
-                    return match, score
-
                 def _sumfreq_scores(occ, slops):
                     # per-doc score = sum of 1/(1 + slop) over the MINIMAL
                     # intervals (Lucene sloppyFreq summation — callers pass
@@ -1484,28 +1468,42 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                         keep &= slop <= node.max_gaps
                     return _sumfreq_scores(allk[keep], slop[keep])
                 else:  # unordered pair with prefix/masked/duplicate steps
-                    a, barr = ks[0], ks[1]
-                    idx = np.searchsorted(barr, a + 1)
-                    okr = idx < len(barr)
-                    cr = barr[np.minimum(idx, len(barr) - 1)]
-                    okr &= (cr >> _POS_SHIFT) == (a >> _POS_SHIFT)
+                    # per-END minimal windows over possibly-OVERLAPPING
+                    # occurrence sets (prefix expansion / masked fields /
+                    # duplicate terms can put both steps on one position; a
+                    # window needs two DISTINCT positions, so the merged-
+                    # stream per-label last-seen is unsound here). Every
+                    # window ends at some occurrence x; the narrowest window
+                    # ending at x pairs it with the closest strictly-earlier
+                    # occurrence of the OTHER step (either role when x
+                    # satisfies both). Minimality (running-max of starts),
+                    # max_gaps after minimization, and freq-sum follow the
+                    # merged-stream convention.
+                    A, B = ks[0], ks[1]
+                    ends = np.unique(np.concatenate([A, B]))
+                    int_min = np.iinfo(np.int64).min
+
+                    def _prev_lt(arr, x):
+                        # max element of arr strictly below x, same doc
+                        i = np.searchsorted(arr, x) - 1
+                        ok = i >= 0
+                        v = arr[np.maximum(i, 0)]
+                        ok &= (v >> _POS_SHIFT) == (x >> _POS_SHIFT)
+                        return np.where(ok, v, int_min)
+
+                    inA = np.isin(ends, A)
+                    inB = np.isin(ends, B)
+                    pa = np.where(inB, _prev_lt(A, ends), int_min)
+                    pb = np.where(inA, _prev_lt(B, ends), int_min)
+                    st = np.maximum(pa, pb)
+                    good = st > int_min
+                    run = np.maximum.accumulate(np.where(good, st, int_min))
+                    prev = np.concatenate(([int_min], run[:-1]))
+                    keep = good & (st > prev)
+                    slop = ends - st - 1
                     if node.max_gaps >= 0:
-                        okr &= (cr - a - 1) <= node.max_gaps
-                    idl = np.searchsorted(barr, a) - 1
-                    okl = idl >= 0
-                    cl = barr[np.maximum(idl, 0)]
-                    okl &= (cl >> _POS_SHIFT) == (a >> _POS_SHIFT)
-                    if node.max_gaps >= 0:
-                        okl &= (a - cl - 1) <= node.max_gaps
-                    # nearest-right/left neighbors are the minimal-slop
-                    # partners for each left occurrence
-                    slop_a = np.full(len(a), np.inf)
-                    if okr.any():
-                        slop_a[okr] = (cr - a - 1)[okr]
-                    if okl.any():
-                        slop_a[okl] = np.minimum(slop_a[okl], (a - cl - 1)[okl])
-                    sel = okr | okl
-                    return _minslop_scores(a[sel], slop_a[sel])
+                        keep &= slop <= node.max_gaps
+                    return _sumfreq_scores(ends[keep], slop[keep])
             if isinstance(node, ChannelLeaf):
                 m = chan_presence(node.fid, docs_u)
                 if node.const is not None:

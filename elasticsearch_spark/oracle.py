@@ -412,23 +412,47 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
         or len(set(map(str, qterms))) != m
     ):
         # non-plain unordered pair (prefix-expanded / masked / duplicate
-        # steps): best-window 1/(1 + min slop) — the one shape still scored
-        # best-window (twin of the engine; plain distinct pairs go through
-        # the merged-stream freq-sum branch below)
-        gapf = "" if max_gaps < 0 else f" AND abs(a - b) - 1 <= {max_gaps}"
-        slops = (
-            f"list_filter(list_transform({pos(qterms[0], sfields[0])}, a -> "
-            f"list_min(list_transform(list_filter({pos(qterms[1], sfields[1])}, "
-            f"b -> b <> a{gapf}), b -> abs(a - b) - 1))), s -> s IS NOT NULL)"
+        # steps — occurrence sets may overlap): per-END minimal windows,
+        # freq-sum — twin of the engine (see query_dsl._intervals)
+        p1 = pos(qterms[0], sfields[0])
+        p2 = pos(qterms[1], sfields[1])
+        start = (
+            f"greatest("
+            f"CASE WHEN list_contains(pb_, x) THEN "
+            f"list_max(list_filter(pa_, p -> p < x)) END, "
+            f"CASE WHEN list_contains(pa_, x) THEN "
+            f"list_max(list_filter(pb_, p -> p < x)) END)"
+        )
+        pairs = (
+            f"list_filter(list_transform("
+            f"list_sort(list_distinct(list_concat(pa_, pb_))), "
+            f"x -> {{'e': x, 's0': {start}}}), "
+            f"x -> struct_extract(x, 's0') IS NOT NULL)"
+        )
+        gapf = (
+            "" if max_gaps < 0
+            else (f" AND struct_extract(x, 'e') - struct_extract(x, 's0') - 1"
+                  f" <= {max_gaps}")
+        )
+        kept = (
+            f"list_filter(pv, x -> len(list_filter(pv, y -> "
+            f"struct_extract(y, 'e') < struct_extract(x, 'e') AND "
+            f"struct_extract(y, 's0') >= struct_extract(x, 's0'))) = 0"
+            f"{gapf})"
         )
         c = f"""
 {a} AS (
-  SELECT conv_id, turn_idx, 1.0 / (1 + list_min(slops)) AS score
-  FROM (
-    SELECT conv_id, turn_idx, {{slops}} AS slops
-    FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)
-  ) WHERE len(slops) > 0
-)""".replace("{slops}", slops)
+  SELECT conv_id, turn_idx, score FROM (
+    SELECT conv_id, turn_idx,
+           list_sum(list_transform({kept}, x ->
+             1.0 / (struct_extract(x, 'e') - struct_extract(x, 's0')))) AS score
+    FROM (
+      SELECT conv_id, turn_idx, {pairs} AS pv
+      FROM (SELECT conv_id, turn_idx, {p1} AS pa_, {p2} AS pb_
+            FROM (SELECT conv_id, turn_idx, {t} FROM transcripts))
+    ) WHERE len(pv) > 0
+  ) WHERE score > 0
+)"""
         return c, a
     else:
         # unordered plain distinct single-field terms (arity >= 2) — twin of

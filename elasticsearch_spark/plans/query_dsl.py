@@ -786,19 +786,19 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     matches when the analyzed terms occur within an interval of width
     max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
 
-    Scoring is Lucene's interval freq: the sum of 1/(1 + slop) over the
-    MINIMAL interval set (interval minimization — no kept interval contains
-    another; SpanScorer/IntervalQuery sloppyFreq summation). Single-term
-    shapes contribute 1 per surviving occurrence (width-0 intervals).
-    Exceptions, documented: non-plain unordered pairs (prefix-expanded /
-    masked / duplicate-term steps) score the best window 1/(1 + min slop);
-    within/containing score 1.0. Remaining divergence: the freq is exposed
+    Scoring is Lucene's interval freq on every shape: the sum of
+    1/(1 + slop) over the MINIMAL interval set (interval minimization — no
+    kept interval contains another; SpanScorer/IntervalQuery sloppyFreq
+    summation). Single-term shapes contribute 1 per surviving occurrence
+    (width-0 intervals); within/containing score their respective span
+    streams (within_mode). Remaining divergence: the freq is exposed
     directly rather than fed through the field similarity, so proximity
     ordering and freq accumulation match Lucene but absolute calibration
     differs. Ordered matching supports any arity via greedy minimal
     chains; unordered shapes use the merged-stream minimal-covering-window
-    form (plain distinct single-field terms, any arity) or the pairwise
-    form (non-plain pairs).
+    form (plain distinct single-field terms, any arity) or the per-end
+    minimal-window form (non-plain pairs, whose occurrence sets may
+    overlap).
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -1040,27 +1040,53 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         or len(set(map(str, qterms))) != m
     ):
         # non-plain unordered pair (prefix-expanded / masked / duplicate
-        # steps): per-a nearest partner, best-window 1/(1 + min slop) —
-        # the one shape still scored best-window (plain distinct pairs go
-        # through the merged-stream freq-sum branch below); documented on
-        # IntervalsLeaf
+        # steps — the two occurrence sets may OVERLAP, so the per-label
+        # merged stream is unsound): per-END minimal windows. Every window
+        # ends at some occurrence x; the narrowest window ending at x pairs
+        # it with the closest strictly-earlier occurrence of the OTHER step
+        # (either role when x satisfies both). Minimality = no earlier
+        # window with a >= start; max_gaps after minimization; score = sum
+        # of 1/(1 + slop) — twin of the kernel and the oracle.
         pa = positions(qterms[0], sfields[0])
         pb = positions(qterms[1], sfields[1])
+        ends = F.array_sort(F.array_distinct(F.concat(pa, pb)))
 
-        def best_of(aa):
-            cand = F.filter(pb, lambda bb: bb != aa)
-            if max_gaps >= 0:
-                cand = F.filter(
-                    pb, lambda bb: (bb != aa) & (F.abs(aa - bb) - 1 <= max_gaps)
-                )
-            return F.array_min(F.transform(cand, lambda bb: F.abs(aa - bb) - 1))
+        def pair_at(x):
+            sa = F.when(
+                F.array_contains(pb, x),
+                F.array_max(F.filter(pa, lambda p: p < x)),
+            )
+            sb = F.when(
+                F.array_contains(pa, x),
+                F.array_max(F.filter(pb, lambda p: p < x)),
+            )
+            s0 = F.greatest(sa, sb)
+            return F.when(
+                s0.isNotNull(), F.struct(x.alias("e"), s0.alias("s0"))
+            )
 
-        slops = F.filter(F.transform(pa, best_of), lambda s: s.isNotNull())
-        min_slop = F.array_min(slops)
+        pairs = F.filter(F.transform(ends, pair_at), lambda x: x.isNotNull())
+        base = toks.select(*ctx.key_cols, pairs.alias("_pv")).where(
+            F.size("_pv") > 0
+        )
+        kept = F.filter(
+            F.col("_pv"),
+            lambda x: ~F.exists(
+                F.col("_pv"),
+                lambda y: (y["e"] < x["e"]) & (y["s0"] >= x["s0"]),
+            ),
+        )
+        if max_gaps >= 0:
+            kept = F.filter(
+                kept, lambda x: x["e"] - x["s0"] - 1 <= F.lit(max_gaps)
+            )
+        pf = F.aggregate(
+            kept, F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / (x["e"] - x["s0"]),
+        )
         scored = (
-            toks.select(*ctx.key_cols, min_slop.alias("_ms"))
-            .where(F.col("_ms").isNotNull())
-            .select(*ctx.key_cols, (F.lit(1.0) / (1 + F.col("_ms"))).alias("score"))
+            base.select(*ctx.key_cols, pf.alias("score"))
+            .where(F.col("score") > 0)
         )
         return Compiled(scored=scored)
     else:

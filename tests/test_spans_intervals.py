@@ -500,3 +500,55 @@ def test_within_containing_score_streams(spark, tmp_path_factory):
         gi = {r.turn_idx: round(r.score, 4)
               for r in topk.search_indexed(spark, store, qd(kind), k=100).collect()}
         assert gl == want and gi == want, (kind, want, gl, gi)
+
+
+def test_nonplain_pair_freq_sum(spark, tiny_store):
+    # non-plain unordered pair (span_multi prefix step): per-end minimal
+    # windows each contribute 1/(1+slop). doc4 "alpha gamma alpha zeta" has
+    # TWO minimal windows (alpha@0,gamma@1) and (gamma@1,alpha@2) -> 2.0
+    qd = {
+        "span_near": {
+            "clauses": [
+                {"span_multi": {"match": {"prefix": {"text": "ga"}}}},
+                {"span_term": {"text": "alpha"}},
+            ],
+            "slop": 3,
+            "in_order": False,
+        }
+    }
+    df, store = tiny_store
+    gl = {r.turn_idx: round(r.score, 4)
+          for r in Q.search(df, qd, KEYS, k=100).collect()}
+    gi = {r.turn_idx: round(r.score, 4)
+          for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+    # gamma/alpha per doc: 0:(2|0) slop 1; 1:(4|1) slop 2; 2:(4|0) slop 3;
+    # 3:(0|2) slop 1; 4: two windows slop 0 each; 5:(3|0) slop 2; 6:(3|1) slop 1
+    want = {0: 0.5, 1: round(1 / 3, 4), 2: 0.25, 3: 0.5, 4: 2.0,
+            5: round(1 / 3, 4), 6: 0.5}
+    assert gl == want and gi == want, (gl, gi)
+
+
+def test_duplicate_term_pair_overlapping_sets(spark, tmp_path_factory):
+    # duplicate-term unordered pair ("beta beta"): both steps share one
+    # occurrence set; a window needs two DISTINCT positions. Adjacent
+    # occurrence pairs are the minimal windows.
+    import datetime
+
+    texts = {0: "q beta w beta beta", 1: "beta", 2: "beta beta",
+             3: "x y z"}
+    df = spark.createDataFrame(
+        [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
+         for i, t in texts.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("duppair"))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+    qd = {"intervals": {"text": {"match": {"query": "beta beta"}}}}
+    # doc0 windows [1,3] slop 1 + [3,4] slop 0 -> 1.5; doc2 [0,1] -> 1.0
+    want = {0: 1.5, 2: 1.0}
+    gl = {r.turn_idx: round(r.score, 4)
+          for r in Q.search(df, qd, KEYS, k=100).collect()}
+    gi = {r.turn_idx: round(r.score, 4)
+          for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+    assert gl == want and gi == want, (gl, gi)
