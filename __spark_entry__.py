@@ -26,6 +26,8 @@ from elasticsearch_spark.queryset import (  # noqa: E402
     INTERVALS_QUERIES,
     JOIN_QUERIES,
     RESCORE_FIXTURE,
+    SCRIPT_FIELDS_FIXTURE,
+    SCRIPT_SORT_FIXTURE,
     SEARCH_AFTER_FIXTURE,
     SEARCH_QUERIES,
     SPAN_QUERIES,
@@ -122,6 +124,10 @@ R4_WINDOW = [
     "search_intervals_unordered", "indexed_intervals_unordered",
     # new hand-written independent oracles (different algebra per docstring)
     "hand_dis_max", "hand_match_msm", "hand_span_near",
+    # Painless FIELDS / NUMBER_SORT contexts (script fields, script sort)
+    "script_fields_fetch", "script_sort_number",
+    # _count endpoint + fetch-phase _source includes/excludes filtering
+    "count_match", "search_source_filter",
 ]
 
 
@@ -164,6 +170,39 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cursor_search_after"] = _search_after
     out["cursor_collapse"] = _collapse
     out["cursor_rescore"] = _rescore
+
+    def _script_fields(spark, sf_dir):
+        f = SCRIPT_FIELDS_FIXTURE
+        return cursor.script_fields(
+            TR.transcripts_view(spark, sf_dir), f["query"], KEYS,
+            f["fields"], f["k"],
+        )
+
+    def _script_sort(spark, sf_dir):
+        f = SCRIPT_SORT_FIXTURE
+        return cursor.script_sort(
+            TR.transcripts_view(spark, sf_dir), f["query"], KEYS,
+            f["script"], f["order"], f["size"],
+        )
+
+    out["script_fields_fetch"] = _script_fields
+    out["script_sort_number"] = _script_sort
+
+    def _count(spark, sf_dir):
+        return cursor.count(
+            TR.transcripts_view(spark, sf_dir),
+            {"match": {"text": "spark"}}, KEYS,
+        )
+
+    def _source_filter(spark, sf_dir):
+        return cursor.source_filtering(
+            TR.transcripts_view(spark, sf_dir),
+            {"match": {"text": "hash table"}}, KEYS,
+            includes=["role", "ts", "text"], excludes=["text"], k=DEFAULT_K,
+        )
+
+    out["count_match"] = _count
+    out["search_source_filter"] = _source_filter
     out.update(miscset.MISC_QUERY_FNS)
 
     def _highlight(spark, sf_dir):
@@ -243,6 +282,17 @@ def oracle_sql() -> dict[str, str]:
     out["cursor_rescore"] = oracle.rescore_sql(
         fr["query"], fr["rescore_query"], fr["window_size"],
         fr["query_weight"], fr["rescore_query_weight"], fr["k"],
+    )
+    fs, fo = SCRIPT_FIELDS_FIXTURE, SCRIPT_SORT_FIXTURE
+    out["script_fields_fetch"] = oracle.script_fields_sql(
+        fs["query"], fs["fields"], fs["k"]
+    )
+    out["script_sort_number"] = oracle.script_sort_sql(
+        fo["query"], fo["script"], fo["order"], fo["size"]
+    )
+    out["count_match"] = oracle.count_sql({"match": {"text": "spark"}})
+    out["search_source_filter"] = oracle.source_filtering_sql(
+        {"match": {"text": "hash table"}}, ["role", "ts"], DEFAULT_K
     )
     from elasticsearch_spark.functions import analysis as _an
 

@@ -271,3 +271,83 @@ def rescore(
         .limit(k)
         .select(*key_cols, F.round(F.col("score"), 4).alias("score"))
     )
+
+
+def script_fields(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    fields: dict[str, dict | str],
+    k: int = 10,
+) -> DataFrame:
+    """Script fields (search/fetch/subphase/ScriptFieldsPhase.java; Painless
+    FIELDS context): run the query top-k as usual, then the fetch phase
+    computes one extra column per named script over each hit's doc values.
+    Scripts use the shared Painless expression subset (doc['f'].value,
+    params, Math.*, arithmetic/ternary) translated to a Spark SQL
+    expression — JVM-side, no per-hit Python."""
+    from ..functions import painless
+
+    hits = Q.search(docs, query, key_cols, k=k)
+    exprs = [
+        F.expr(painless.script_sql(spec)).alias(name)
+        for name, spec in sorted(fields.items())
+    ]
+    return hits.join(docs, key_cols).select(*key_cols, "score", *exprs)
+
+
+def script_sort(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    script: dict | str,
+    order: str = "asc",
+    size: int = 10,
+) -> DataFrame:
+    """Script sort (sort [{"_script": {"type": "number", ...}}],
+    ScriptSortBuilder / Painless NUMBER_SORT context): the matched set
+    ordered by the script value instead of relevance, ties by doc key.
+    The script translates to one SQL expression evaluated in the same scan
+    that applies the query predicate — no extra pass."""
+    from ..functions import painless
+
+    if order not in ("asc", "desc"):
+        raise ValueError(f"order must be asc/desc, got {order!r}")
+    matched = Q.compile_query(query, docs, key_cols)
+    expr = F.expr(painless.script_sql(script))
+    full = matched.join(docs, key_cols).select(
+        *key_cols, expr.alias("sort_value")
+    )
+    ov = F.col("sort_value").asc() if order == "asc" else F.col("sort_value").desc()
+    return full.orderBy(ov, *[F.col(c).asc() for c in key_cols]).limit(size)
+
+
+def count(docs: DataFrame, query: dict, key_cols: list[str]) -> DataFrame:
+    """_count endpoint (RestCountAction -> query phase with size=0): the
+    number of docs matching the query, as a 1-row (cnt) DataFrame. Runs as
+    a count aggregate over the match set — no fetch phase, no top-k heap."""
+    matched = Q.compile_query(query, docs, key_cols)
+    return matched.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def source_filtering(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    includes: list[str] | None = None,
+    excludes: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Fetch-phase _source filtering (FetchSourceContext.java:124-186):
+    top-k hits carry only the included-minus-excluded source fields.
+    Column pruning reaches the parquet scan — an excluded wide column is
+    never read."""
+    hits = Q.search(docs, query, key_cols, k=k)
+    cols = [c for c in docs.columns if c not in key_cols]
+    if includes is not None:
+        cols = [c for c in cols if c in includes]
+    if excludes:
+        cols = [c for c in cols if c not in excludes]
+    return hits.join(docs.select(*key_cols, *cols), key_cols).select(
+        *key_cols, "score", *cols
+    )

@@ -996,6 +996,69 @@ WHERE ({cols}) > ({vals})
 ORDER BY {cols} LIMIT {size}"""
 
 
+def script_fields_sql(query: dict, fields: dict, k: int = 10) -> str:
+    """Oracle for cursor.script_fields: top-k + per-hit script columns (the
+    translator emits SQL valid in both Spark and DuckDB)."""
+    from .functions.painless import script_sql
+
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    cols = ", ".join(
+        f"{script_sql(spec)} AS {name}" for name, spec in sorted(fields.items())
+    )
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+hits AS (
+  SELECT conv_id, turn_idx, round(score, 4) AS score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT conv_id, turn_idx, score, {cols}
+FROM (
+  SELECT t.*, h.score
+  FROM hits h JOIN transcripts t
+    ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx
+)"""
+
+
+def script_sort_sql(query: dict, script, order: str = "asc", size: int = 10) -> str:
+    """Oracle for cursor.script_sort: matched set ordered by script value."""
+    from .functions.painless import script_sql
+
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes}
+SELECT conv_id, turn_idx, {script_sql(script)} AS sort_value
+FROM {a} JOIN transcripts t USING (conv_id, turn_idx)
+ORDER BY sort_value {order.upper()}, conv_id, turn_idx LIMIT {size}"""
+
+
+def count_sql(query: dict) -> str:
+    """Oracle for cursor.count: matching-doc count."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    return f"""{TRANSCRIPTS_CTE},{ctes}
+SELECT count(*) AS cnt FROM {a}"""
+
+
+def source_filtering_sql(
+    query: dict, cols: list[str], k: int = 10
+) -> str:
+    """Oracle for cursor.source_filtering: top-k + projected source cols."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    sel = ", ".join(f"t.{c}" for c in cols)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+hits AS (
+  SELECT conv_id, turn_idx, round(score, 4) AS score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT h.conv_id, h.turn_idx, h.score, {sel}
+FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id AND t.turn_idx = h.turn_idx"""
+
+
 def collapse_sql(query: dict, field: str, k: int, inner_hits: int) -> str:
     """Oracle for cursor.collapse: best-hit-per-key + inner_hits expansion."""
     g = _SqlGen()

@@ -400,5 +400,27 @@ RESCORE_FIXTURE = {
     "rescore_query_weight": 2.0,
     "k": 10,
 }
+# Painless FIELDS / NUMBER_SORT contexts (ScriptFieldsPhase.java,
+# ScriptSortBuilder): per-hit computed fields and script-valued sort
+SCRIPT_FIELDS_FIXTURE = {
+    "query": {"match": {"text": "spark query"}},
+    "fields": {
+        "double_idx": {
+            "source": "doc['turn_idx'].value * 2 + params.base",
+            "params": {"base": 1},
+        },
+        "idx_bucket": {"source": "doc['turn_idx'].value % 3 == 0 ? 'z' : 'nz'"},
+    },
+    "k": 10,
+}
+SCRIPT_SORT_FIXTURE = {
+    "query": {"match": {"text": {"query": "hash join", "operator": "and"}}},
+    "script": {
+        "source": "doc['turn_idx'].value % 7 + params.o",
+        "params": {"o": 2},
+    },
+    "order": "desc",
+    "size": 15,
+}
 
 DEFAULT_K = 10

@@ -11,6 +11,8 @@ from elasticsearch_spark.operators import cursor, index_build, update
 from elasticsearch_spark.queryset import (
     COLLAPSE_FIXTURE,
     RESCORE_FIXTURE,
+    SCRIPT_FIELDS_FIXTURE,
+    SCRIPT_SORT_FIXTURE,
     SEARCH_AFTER_FIXTURE,
 )
 
@@ -115,3 +117,54 @@ def test_sliced_scroll_partitions(spark, transcripts, tmp_path_factory):
         assert not (keys & all_keys)  # slices are disjoint
         all_keys |= keys
     assert len(all_keys) == transcripts.count()  # and exhaustive
+
+
+def test_script_fields_oracle(spark, transcripts, duck):
+    # Painless FIELDS context (ScriptFieldsPhase.java): per-hit computed
+    # columns from the shared expression translator
+    f = SCRIPT_FIELDS_FIXTURE
+    got = cursor.script_fields(transcripts, f["query"], KEYS, f["fields"], f["k"])
+    sql = oracle.script_fields_sql(f["query"], f["fields"], f["k"])
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    assert got.count() > 0
+    r0 = got.orderBy("conv_id", "turn_idx").first()
+    assert r0.double_idx == r0.turn_idx * 2 + 1
+    assert r0.idx_bucket == ("z" if r0.turn_idx % 3 == 0 else "nz")
+
+
+def test_script_sort_oracle(spark, transcripts, duck):
+    # Painless NUMBER_SORT context (ScriptSortBuilder): matched set ordered
+    # by script value desc, ties by doc key
+    f = SCRIPT_SORT_FIXTURE
+    got = cursor.script_sort(
+        transcripts, f["query"], KEYS, f["script"], f["order"], f["size"]
+    )
+    sql = oracle.script_sort_sql(f["query"], f["script"], f["order"], f["size"])
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    vals = [r.sort_value for r in got.collect()]
+    assert vals == sorted(vals, reverse=True) and len(vals) > 0
+
+
+def test_script_sort_rejects_bad_order(spark, transcripts):
+    with pytest.raises(ValueError, match="asc/desc"):
+        cursor.script_sort(transcripts, {"match_all": {}}, KEYS, "turn_idx", "up")
+
+
+def test_count_oracle(spark, transcripts, duck):
+    qd = {"match": {"text": "spark"}}
+    got = cursor.count(transcripts, qd, KEYS)
+    sql = oracle.count_sql(qd)
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    assert got.first().cnt > 0
+
+
+def test_source_filtering_oracle(spark, transcripts, duck):
+    qd = {"match": {"text": "hash table"}}
+    got = cursor.source_filtering(
+        transcripts, qd, KEYS, includes=["role", "ts", "text"],
+        excludes=["text"], k=10,
+    )
+    sql = oracle.source_filtering_sql(qd, ["role", "ts"], 10)
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    # excluded/unincluded source fields never appear
+    assert set(got.columns) == {"conv_id", "turn_idx", "score", "role", "ts"}
