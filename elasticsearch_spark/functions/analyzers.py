@@ -14,7 +14,9 @@ how the reference analyzes query text with the index-time analyzer
 Supported components (ES name -> here):
   tokenizers: standard, whitespace, letter, keyword, ngram, edge_ngram
   filters: lowercase, uppercase, stop, asciifolding, length, unique, reverse,
-           truncate, shingle, synonym, stemmer(minimal_english | porter)
+           truncate, trim, shingle, synonym, keyword_marker, stemmer_override,
+           stemmer(minimal_english | porter)
+  char filters: html_strip (+ entity decode), mapping, pattern_replace
 The minimal_english stemmer is a plural-stripping stemmer in the spirit of
 Lucene's EnglishMinimalStemmer (-ies>-y, -es>-e drop, -s drop unless -ss;
 words <3 chars untouched) — NOT Porter, and slightly broader than Lucene's
@@ -92,8 +94,16 @@ def _tokenize(c: Column, spec: dict) -> Column:
 
 
 # ---------------------------------------------------------------- filters
-def _apply_filter(toks: Column, f) -> Column:
+# `protected` carries the KeywordAttribute analog through the chain:
+# keyword_marker keywords and stemmer_override outputs are exempt from later
+# stemmer filters (KeywordMarkerTokenFilterFactory /
+# StemmerOverrideTokenFilterFactory semantics; the approximation — protection
+# keys on the token STRING at stemmer time, not a per-position attribute — is
+# identical in both twins and only diverges if an unrelated token collides
+# with a protected form).
+def _apply_filter(toks: Column, f, protected: list[str] | None = None) -> Column:
     name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+    protected = protected if protected is not None else []
     if name == "lowercase":
         return F.transform(toks, F.lower)
     if name == "uppercase":
@@ -152,21 +162,73 @@ def _apply_filter(toks: Column, f) -> Column:
         )
     if name == "trim":
         return F.transform(toks, F.trim)
+    if name == "keyword_marker":
+        return toks  # marking handled at chain level (tokens())
+    if name == "stemmer_override":
+        mapping = _override_rules(params.get("rules", []))
+        if not mapping:
+            return toks
+        kv = []
+        for k, v in mapping.items():
+            kv += [F.lit(k), F.lit(v)]
+        m = F.create_map(*kv)
+        return F.transform(toks, lambda t: F.coalesce(F.element_at(m, t), t))
     if name == "stemmer":
         lang = params.get("language", "minimal_english")
+
+        def guard(stem_col_fn):
+            if not protected:
+                return stem_col_fn
+            arr = F.array(*[F.lit(w) for w in protected])
+            return lambda t: F.when(
+                F.array_contains(arr, t), t
+            ).otherwise(stem_col_fn(t))
+
         if lang == "porter":
-            return _porter_udf()(toks)
+            return _porter_udf(protected)(toks)
         if lang != "minimal_english":
             raise ValueError(f"stemmer language {lang} unsupported")
         return F.transform(
             toks,
-            lambda t: F.when(F.length(t) < 3, t)
-            .when(t.endswith("ies"), F.regexp_replace(t, "ies$", "y"))
-            .when(t.endswith("es"), F.regexp_replace(t, "es$", "e"))
-            .when(t.endswith("s") & ~t.endswith("ss"), F.regexp_replace(t, "s$", ""))
-            .otherwise(t),
+            guard(
+                lambda t: F.when(F.length(t) < 3, t)
+                .when(t.endswith("ies"), F.regexp_replace(t, "ies$", "y"))
+                .when(t.endswith("es"), F.regexp_replace(t, "es$", "e"))
+                .when(
+                    t.endswith("s") & ~t.endswith("ss"),
+                    F.regexp_replace(t, "s$", ""),
+                )
+                .otherwise(t)
+            ),
         )
     raise ValueError(f"unknown token filter: {name}")
+
+
+def _override_rules(rules: list[str]) -> dict[str, str]:
+    """stemmer_override rules ('token => stem') -> {token: stem}."""
+    out: dict[str, str] = {}
+    for rule in rules:
+        if "=>" not in rule:
+            raise ValueError(f"bad stemmer_override rule: {rule!r}")
+        k, v = (x.strip() for x in rule.split("=>", 1))
+        if not k or not v or " " in k or " " in v:
+            raise ValueError(f"bad stemmer_override rule: {rule!r}")
+        out[k] = v
+    return out
+
+
+def _chain_protected(spec: dict, upto: int) -> list[str]:
+    """Protected token forms visible to the filter at chain position
+    `upto`: keyword_marker keywords and stemmer_override outputs declared
+    EARLIER in the chain."""
+    out: list[str] = []
+    for f in spec.get("filters", [])[:upto]:
+        name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+        if name == "keyword_marker":
+            out += list(params.get("keywords", []))
+        elif name == "stemmer_override":
+            out += list(_override_rules(params.get("rules", [])).values())
+    return out
 
 
 def parse_synonym_rules(rules: list[str], expand: bool = True) -> dict:
@@ -205,17 +267,22 @@ def parse_synonym_rules(rules: list[str], expand: bool = True) -> dict:
     return mapping
 
 
-def _porter_udf():
+def _porter_udf(protected: list[str] | None = None):
     """Arrow-batched array<string> -> array<string> Porter pass (the one
-    non-codegen filter; see module docstring)."""
+    non-codegen filter; see module docstring). `protected` tokens pass
+    through unstemmed (KeywordAttribute analog)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
     from .porter import porter_stem
 
+    prot = frozenset(protected or [])
+
     def _stem(col):
         return col.map(
-            lambda toks: None if toks is None else [porter_stem(t) for t in toks]
+            lambda toks: None if toks is None else [
+                t if t in prot else porter_stem(t) for t in toks
+            ]
         )
 
     return pandas_udf(_stem, ArrayType(StringType()))
@@ -312,8 +379,8 @@ def tokens(text: Column | str, analyzer: str | dict = "standard") -> Column:
     for f in spec.get("char_filters", []):
         c = _apply_char_filter(c, f)
     toks = _tokenize(c, spec)
-    for f in spec.get("filters", []):
-        toks = _apply_filter(toks, f)
+    for i, f in enumerate(spec.get("filters", [])):
+        toks = _apply_filter(toks, f, _chain_protected(spec, i))
     return toks
 
 
@@ -350,8 +417,9 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
     else:
         raise ValueError(kind)
 
-    for f in spec.get("filters", []):
+    for fi, f in enumerate(spec.get("filters", [])):
         name, params = (f, {}) if isinstance(f, str) else (f["type"], f)
+        protected = set(_chain_protected(spec, fi))
         if name == "lowercase":
             toks = [t.lower() for t in toks]
         elif name == "uppercase":
@@ -392,14 +460,21 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
                 params.get("synonyms", []), params.get("expand", True)
             )
             toks = [s for t in toks for s in mapping.get(t, [t])]
+        elif name == "keyword_marker":
+            pass  # marking handled via _chain_protected
+        elif name == "stemmer_override":
+            m = _override_rules(params.get("rules", []))
+            toks = [m.get(t, t) for t in toks]
         elif name == "stemmer":
             if params.get("language", "minimal_english") == "porter":
                 from .porter import porter_stem
 
-                toks = [porter_stem(t) for t in toks]
+                toks = [t if t in protected else porter_stem(t) for t in toks]
                 continue
 
             def stem(t: str) -> str:
+                if t in protected:
+                    return t
                 if len(t) < 3:
                     return t
                 if t.endswith("ies"):

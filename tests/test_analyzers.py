@@ -66,7 +66,38 @@ CHAINS = [
         "tokenizer": "whitespace",
         "filters": ["lowercase", "trim"],
     },
+    # round 4: keyword_marker / stemmer_override protect tokens from stemmers
+    {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "keyword_marker", "keywords": ["jumping", "foxes"]},
+            {"type": "stemmer_override", "rules": ["dogs => doggo"]},
+            {"type": "stemmer", "language": "porter"},
+        ],
+    },
+    {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "keyword_marker", "keywords": ["berries"]},
+            {"type": "stemmer", "language": "minimal_english"},
+        ],
+    },
 ]
+
+
+def test_keyword_marker_and_override_protect_from_stemmer():
+    chain = {"tokenizer": "standard", "filters": [
+        "lowercase",
+        {"type": "keyword_marker", "keywords": ["running"]},
+        {"type": "stemmer_override", "rules": ["ponies => pony"]},
+        {"type": "stemmer", "language": "porter"},
+    ]}
+    got = analyzers.analyze_text("Running ponies are jumping happily", chain)
+    # 'running' marked keyword (unstemmed); 'ponies' overridden to 'pony'
+    # and NOT re-stemmed (porter would give 'poni'); the rest stem normally
+    assert got == ["running", "pony", "ar", "jump", "happili"]
 
 
 def test_html_strip_semantics():
