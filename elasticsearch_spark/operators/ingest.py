@@ -62,6 +62,19 @@ def _apply(df: DataFrame, kind: str, b: dict) -> DataFrame:
         return df.drop(*fields)
     if kind == "rename":
         return df.withColumnRenamed(f, b["target_field"])
+    if kind == "dot_expander":
+        # DotExpanderProcessor: a literally-dotted field name ("a.b") becomes
+        # a nested object ({"a": {"b": ...}}) — here a struct column. If the
+        # parent struct already exists, the new leaf is added to it.
+        parent, child = f.split(".", 1)
+        if "." in child:
+            raise ValueError("dot_expander supports one level of nesting")
+        src = df["`" + f + "`"]
+        if parent in df.columns:
+            new = F.col(parent).withField(child, src)
+        else:
+            new = F.struct(src.alias(child))
+        return df.withColumn(parent, new).drop(f)
     if kind == "append":
         val = b["value"]
         vals = val if isinstance(val, list) else [val]

@@ -132,3 +132,33 @@ class TestPlanQuality:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PushedFilters: [In(term" in plan
+
+
+class TestDotExpander:
+    def test_expands_dotted_field_to_struct(self, spark):
+        from elasticsearch_spark.operators import ingest
+
+        df = spark.createDataFrame([(1, "x")], "id int, `a.b` string")
+        out = ingest.run_pipeline(df, [{"dot_expander": {"field": "a.b"}}])
+        r = out.first()
+        assert r.a.b == "x" and "a.b" not in out.columns
+
+    def test_merges_into_existing_struct(self, spark):
+        from pyspark.sql import functions as F
+
+        from elasticsearch_spark.operators import ingest
+
+        df = spark.createDataFrame([(1, "x", "y")], "id int, `a.b` string, c string")
+        df = df.withColumn("a", F.struct(F.col("c").alias("c0")))
+        out = ingest.run_pipeline(df, [{"dot_expander": {"field": "a.b"}}])
+        r = out.first()
+        assert r.a.c0 == "y" and r.a.b == "x"
+
+    def test_deep_nesting_raises(self, spark):
+        import pytest as _pt
+
+        from elasticsearch_spark.operators import ingest
+
+        df = spark.createDataFrame([(1, "x")], "id int, `a.b.c` string")
+        with _pt.raises(ValueError, match="one level"):
+            ingest.run_pipeline(df, [{"dot_expander": {"field": "a.b.c"}}])
