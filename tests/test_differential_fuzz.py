@@ -54,17 +54,26 @@ def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
          "prefix", "span_near", "span_first"]
     )
     if kind == "span_near":
-        # ordered any arity; unordered arity 2 (engine limit); ~1/3 of the
-        # time the last step is a field_masking_span over the tool stream
+        # ordered any arity; unordered pairs incl. the non-plain shapes
+        # (masked / prefix-expanded / duplicate-term — the per-end
+        # minimal-window path); ~1/3 masked, occasional span_multi prefix
+        # step and duplicate-term pair (overlapping occurrence sets)
         n = rng.randint(2, 3)
-        clauses: list[dict] = [
-            {"span_term": {"text": t}} for t in rng.sample(vocab, n)
-        ]
+        terms = rng.sample(vocab, n)
+        if n == 2 and rng.random() < 0.15:
+            terms[1] = terms[0]  # duplicate-term pair
+        clauses: list[dict] = [{"span_term": {"text": t}} for t in terms]
         if rng.random() < 0.35:
             clauses[-1] = {
                 "field_masking_span": {
                     "query": {"span_term": {"tool": rng.choice(["search", "code", "browser"])}},
                     "field": "text",
+                }
+            }
+        elif n == 2 and rng.random() < 0.25:
+            clauses[-1] = {
+                "span_multi": {
+                    "match": {"prefix": {"text": terms[-1][:2]}}
                 }
             }
         # unordered arity 3 rides the merged-stream minimal-window kernel,
