@@ -168,3 +168,19 @@ def test_source_filtering_oracle(spark, transcripts, duck):
     assert _rows(got) == _duck(duck, sql, got.columns)
     # excluded/unincluded source fields never appear
     assert set(got.columns) == {"conv_id", "turn_idx", "score", "role", "ts"}
+
+
+def test_source_filtering_prunes_wide_column(spark, sf_dir):
+    # a non-text query with text excluded from _source must never touch the
+    # wide text column: column pruning reaches every parquet scan (the
+    # cached module fixture would hide this — use a fresh uncached view)
+    from elasticsearch_spark.sources import transcripts as TR
+
+    docs = TR.transcripts_view(spark, sf_dir)
+    out = cursor.source_filtering(
+        docs, {"term": {"role": "user"}}, KEYS,
+        includes=["role", "ts"], k=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan
+    assert len(out.collect()) == 10
