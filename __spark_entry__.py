@@ -128,6 +128,8 @@ R4_WINDOW = [
     "script_fields_fetch", "script_sort_number",
     # _count endpoint + fetch-phase _source includes/excludes filtering
     "count_match", "search_source_filter",
+    # _explain analog: per-term BM25 component breakdown for top-k hits
+    "explain_match_terms",
 ]
 
 
@@ -203,6 +205,16 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["count_match"] = _count
     out["search_source_filter"] = _source_filter
+
+    def _explain(spark, sf_dir):
+        from elasticsearch_spark.operators import match as M
+
+        return M.explain_match(
+            TR.transcripts_view(spark, sf_dir), "hash join table", KEYS,
+            k=DEFAULT_K,
+        )
+
+    out["explain_match_terms"] = _explain
     out.update(miscset.MISC_QUERY_FNS)
 
     def _highlight(spark, sf_dir):
@@ -291,6 +303,9 @@ def oracle_sql() -> dict[str, str]:
         fo["query"], fo["script"], fo["order"], fo["size"]
     )
     out["count_match"] = oracle.count_sql({"match": {"text": "spark"}})
+    out["explain_match_terms"] = oracle.explain_match_sql(
+        "hash join table", DEFAULT_K
+    )
     out["search_source_filter"] = oracle.source_filtering_sql(
         {"match": {"text": "hash table"}}, ["role", "ts"], DEFAULT_K
     )

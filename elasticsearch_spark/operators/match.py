@@ -134,3 +134,47 @@ def range_filter(col: str, gt=None, gte=None, lt=None, lte=None) -> Column:
 
 def exists_filter(col: str) -> Column:
     return F.col(col).isNotNull()
+
+
+def explain_match(
+    docs: DataFrame,
+    query_text: str,
+    key_cols: list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """_explain / _search?explain=true analog (RestExplainAction; Lucene's
+    Explanation tree flattened to rows): for each top-k hit of a match
+    query, one row per matched term carrying the BM25 components — term
+    freq, doc freq, idf, the byte4-quantized doc length, the term's score
+    contribution — plus the hit's total. The component math is the exact
+    scorer expression, so sum(term_score) reconciles with total_score up to
+    the display rounding."""
+    qterms = list(dict.fromkeys(analysis.analyze(query_text)))
+    if not qterms:
+        raise ValueError("explain needs a non-empty analyzed query")
+    stats = corpus_stats(docs, key_cols, qterms, text_col)
+    tf = doc_tokens(docs, key_cols, text_col).where(F.col("term").isin(qterms))
+    j = tf.join(F.broadcast(stats.term_df), "term").crossJoin(
+        F.broadcast(stats.n_and_avgdl)
+    )
+    dl_q = F.expr(scoring.quantized_dl_sql("dl", "spark"))
+    idf = F.expr(scoring.idf_sql("n_docs", "df"))
+    norm = F.lit(scoring.K1) * (
+        F.lit(1.0 - scoring.B)
+        + F.lit(scoring.B) * dl_q.cast("double") / F.col("avgdl")
+    )
+    tscore = idf * F.lit(scoring.K1 + 1.0) * F.col("tf") / (F.col("tf") + norm)
+    comp = j.select(
+        *key_cols,
+        "term",
+        F.col("tf").alias("term_freq"),
+        F.col("df").alias("doc_freq"),
+        F.round(idf, 4).alias("idf"),
+        dl_q.cast("double").alias("dl_quantized"),
+        F.round(tscore, 4).alias("term_score"),
+    )
+    hits = top_k(match_scores(docs, query_text, key_cols, text_col), key_cols, k)
+    return comp.join(
+        hits.select(*key_cols, F.col("score").alias("total_score")), key_cols
+    )

@@ -1033,6 +1033,30 @@ FROM {a} JOIN transcripts t USING (conv_id, turn_idx)
 ORDER BY sort_value {order.upper()}, conv_id, turn_idx LIMIT {size}"""
 
 
+def explain_match_sql(query_text: str, k: int = 10) -> str:
+    """Oracle for match.explain_match: per-term BM25 components for the
+    top-k hits of a match query (shared formula snippets)."""
+    ctes, a = _match_scored_sql("text", {"query": query_text}, "q")
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    idf = scoring.idf_sql("n_docs", "df")
+    score = scoring.term_score_sql("tf", dl_q, "avgdl", idf)
+    return f"""{TRANSCRIPTS_CTE},{ctes},
+hits AS (
+  SELECT conv_id, turn_idx, round(score, 4) AS total_score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT f.conv_id, f.turn_idx, f.term,
+       f.tf AS term_freq, df AS doc_freq,
+       round({idf}, 4) AS idf,
+       cast({dl_q} AS double) AS dl_quantized,
+       round({score}, 4) AS term_score,
+       h.total_score
+FROM {a}_tf f
+JOIN {a}_df USING (term)
+CROSS JOIN {a}_stats
+JOIN hits h ON h.conv_id = f.conv_id AND h.turn_idx = f.turn_idx"""
+
+
 def count_sql(query: dict) -> str:
     """Oracle for cursor.count: matching-doc count."""
     g = _SqlGen()

@@ -170,13 +170,19 @@ def test_source_filtering_oracle(spark, transcripts, duck):
     assert set(got.columns) == {"conv_id", "turn_idx", "score", "role", "ts"}
 
 
-def test_source_filtering_prunes_wide_column(spark, sf_dir):
+def test_source_filtering_prunes_wide_column(spark, sf_dir, tmp_path):
     # a non-text query with text excluded from _source must never touch the
-    # wide text column: column pruning reaches every parquet scan (the
-    # cached module fixture would hide this — use a fresh uncached view)
+    # wide text column: column pruning reaches every parquet scan. The
+    # module fixture caches the view and Spark substitutes the cached
+    # relation into any identical plan (hiding the scan) — reading through
+    # a symlinked path gives a distinct plan no cache can match.
+    import os
+
     from elasticsearch_spark.sources import transcripts as TR
 
-    docs = TR.transcripts_view(spark, sf_dir)
+    link = tmp_path / "sfdir"
+    os.symlink(sf_dir, link)
+    docs = TR.transcripts_view(spark, str(link))
     out = cursor.source_filtering(
         docs, {"term": {"role": "user"}}, KEYS,
         includes=["role", "ts"], k=10,

@@ -61,3 +61,34 @@ def test_analyze_matches_standard_analyzer():
     assert analysis.analyze("Wörld 42 foo-bar") == ["wörld", "42", "foo", "bar"]
     assert analysis.analyze("") == []
     assert analysis.analyze("!!! ...") == []
+
+
+def test_explain_match_components(spark, transcripts, sf_dir):
+    # _explain analog: per-term BM25 components reconcile with the hit total
+    import duckdb
+
+    from elasticsearch_spark import oracle
+    from elasticsearch_spark.operators import match as M
+
+    got = M.explain_match(
+        transcripts, "hash join table", ["conv_id", "turn_idx"], k=10
+    )
+    rows = got.collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r.conv_id, r.turn_idx), []).append(r)
+    for key, parts in by_doc.items():
+        total = parts[0].total_score
+        assert abs(sum(p.term_score for p in parts) - total) < 2e-3, key
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    cols = sorted(got.columns)
+    eng = sorted(tuple(str(getattr(r, c)) for c in cols) for r in rows)
+    cur = con.execute(oracle.explain_match_sql("hash join table", 10))
+    ocols = [d[0] for d in cur.description]
+    order = [ocols.index(c) for c in sorted(ocols)]
+    want = sorted(tuple(str(r[i]) for i in order) for r in cur.fetchall())
+    assert eng == want
