@@ -87,6 +87,13 @@ def _search_fn(qd: dict) -> Callable[[SparkSession, str], DataFrame]:
 # the 21 entries that have never had a driver row (round-3 VERDICT "do this"
 # #1), then the new round-4 fixtures. Everything else re-registers after the
 # window — the union of rounds covers every entry.
+#
+# ROUND-5 WINDOW PLAN: the 49 entries below include ALL 39 fixtures that had
+# no driver row entering round 4, so a full r4 pass closes the cross-round
+# union at 189/189. Round 5 should front (a) any fixture the r4 driver run
+# did NOT reach or that failed, then (b) new round-5 fixtures, then (c) a
+# rotation of high-traffic older fixtures (match/bool/phrase) as regression
+# re-gates — there are no known-unverified entries left to chase.
 R4_WINDOW = [
     # -- the 21 entries registered after r3's window froze (never checked)
     "search_terms_lookup_filter", "indexed_terms_lookup_filter",
