@@ -137,6 +137,8 @@ R4_WINDOW = [
     "count_match", "search_source_filter",
     # _explain analog: per-term BM25 component breakdown for top-k hits
     "explain_match_terms",
+    # first-class field sort: desc + multi-field (FieldSortBuilder)
+    "field_sort_multi",
 ]
 
 
@@ -222,6 +224,17 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["explain_match_terms"] = _explain
+
+    def _field_sort(spark, sf_dir):
+        return cursor.field_sort(
+            TR.transcripts_view(spark, sf_dir),
+            {"match": {"text": "table"}}, KEYS,
+            [{"field": "role", "order": "desc"},
+             {"field": "ts", "order": "asc"}],
+            size=12,
+        )
+
+    out["field_sort_multi"] = _field_sort
     out.update(miscset.MISC_QUERY_FNS)
 
     def _highlight(spark, sf_dir):
@@ -312,6 +325,11 @@ def oracle_sql() -> dict[str, str]:
     out["count_match"] = oracle.count_sql({"match": {"text": "spark"}})
     out["explain_match_terms"] = oracle.explain_match_sql(
         "hash join table", DEFAULT_K
+    )
+    out["field_sort_multi"] = oracle.field_sort_sql(
+        {"match": {"text": "table"}},
+        [{"field": "role", "order": "desc"}, {"field": "ts", "order": "asc"}],
+        12,
     )
     out["search_source_filter"] = oracle.source_filtering_sql(
         {"match": {"text": "hash table"}}, ["role", "ts"], DEFAULT_K

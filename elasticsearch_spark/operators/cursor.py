@@ -351,3 +351,35 @@ def source_filtering(
     return hits.join(docs.select(*key_cols, *cols), key_cols).select(
         *key_cols, "score", *cols
     )
+
+
+def field_sort(
+    docs: DataFrame,
+    query: dict,
+    key_cols: list[str],
+    sorts: list[dict],
+    size: int = 10,
+) -> DataFrame:
+    """Field sort (FieldSortBuilder): the matched set ordered by sort specs
+    [{"field": f, "order": "asc"|"desc", "missing": "_first"|"_last"}, ...],
+    ties broken by doc key asc. Null field values follow `missing`
+    (default _last, as ES does for asc sorts on absent values)."""
+    matched = Q.compile_query(query, docs, key_cols)
+    full = matched.join(docs, key_cols)
+    order = []
+    for s in sorts:
+        c = F.col(s["field"])
+        o = s.get("order", "asc")
+        miss = s.get("missing", "_last")
+        if o not in ("asc", "desc") or miss not in ("_first", "_last"):
+            raise ValueError(f"bad sort spec: {s!r}")
+        if o == "asc":
+            order.append(c.asc_nulls_last() if miss == "_last" else c.asc_nulls_first())
+        else:
+            order.append(c.desc_nulls_last() if miss == "_last" else c.desc_nulls_first())
+    order += [F.col(c).asc() for c in key_cols]
+    return (
+        full.orderBy(*order)
+        .limit(size)
+        .select(*key_cols, *[s["field"] for s in sorts if s["field"] not in key_cols])
+    )

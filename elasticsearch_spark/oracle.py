@@ -1057,6 +1057,28 @@ CROSS JOIN {a}_stats
 JOIN hits h ON h.conv_id = f.conv_id AND h.turn_idx = f.turn_idx"""
 
 
+def field_sort_sql(query: dict, sorts: list[dict], size: int = 10) -> str:
+    """Oracle for cursor.field_sort: matched set under multi-field sort."""
+    g = _SqlGen()
+    a = g.scored(query)
+    ctes = ",".join(g.ctes)
+    parts = []
+    for sspec in sorts:
+        o = sspec.get("order", "asc").upper()
+        nulls = "NULLS LAST" if sspec.get("missing", "_last") == "_last" else "NULLS FIRST"
+        parts.append(f"{sspec['field']} {o} {nulls}")
+    order = ", ".join(parts)
+    sel = ", ".join(
+        sspec["field"] for sspec in sorts
+        if sspec["field"] not in ("conv_id", "turn_idx")
+    )
+    sel = (", " + sel) if sel else ""
+    return f"""{TRANSCRIPTS_CTE},{ctes}
+SELECT conv_id, turn_idx{sel}
+FROM {a} JOIN transcripts t USING (conv_id, turn_idx)
+ORDER BY {order}, conv_id, turn_idx LIMIT {size}"""
+
+
 def count_sql(query: dict) -> str:
     """Oracle for cursor.count: matching-doc count."""
     g = _SqlGen()

@@ -190,3 +190,24 @@ def test_source_filtering_prunes_wide_column(spark, sf_dir, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan
     assert len(out.collect()) == 10
+
+
+def test_field_sort_oracle(spark, transcripts, duck):
+    # FieldSortBuilder: desc + multi-field, ties by doc key
+    qd = {"match": {"text": "table"}}
+    sorts = [{"field": "role", "order": "desc"}, {"field": "ts", "order": "asc"}]
+    got = cursor.field_sort(transcripts, qd, KEYS, sorts, size=12)
+    sql = oracle.field_sort_sql(qd, sorts, 12)
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    rows = got.collect()
+    assert rows and [r.role for r in rows] == sorted(
+        [r.role for r in rows], reverse=True
+    )
+
+
+def test_field_sort_rejects_bad_spec(spark, transcripts):
+    with pytest.raises(ValueError, match="bad sort spec"):
+        cursor.field_sort(
+            transcripts, {"match_all": {}}, KEYS,
+            [{"field": "role", "order": "up"}],
+        )
