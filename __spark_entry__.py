@@ -140,6 +140,9 @@ R4_WINDOW = [
     # first-class field sort: desc + multi-field (FieldSortBuilder)
     "field_sort_multi",
 ]
+# (msearch_tagged registers after the window: its three sub-queries are
+# already individually gated; the window keeps all never-scored entries
+# inside the driver's ~50-row budget)
 
 
 def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -235,6 +238,21 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["field_sort_multi"] = _field_sort
+
+    MSEARCH_QUERIES = [
+        {"match": {"text": "spark"}},
+        {"match_phrase": {"text": "hash table"}},
+        {"bool": {"must": [{"match": {"text": "join"}}],
+                  "filter": [{"term": {"role": "user"}}]}},
+    ]
+
+    def _msearch(spark, sf_dir):
+        return cursor.msearch(
+            TR.transcripts_view(spark, sf_dir), MSEARCH_QUERIES, KEYS,
+            k=DEFAULT_K,
+        )
+
+    out["msearch_tagged"] = _msearch
     out.update(miscset.MISC_QUERY_FNS)
 
     def _highlight(spark, sf_dir):
@@ -330,6 +348,15 @@ def oracle_sql() -> dict[str, str]:
         {"match": {"text": "table"}},
         [{"field": "role", "order": "desc"}, {"field": "ts", "order": "asc"}],
         12,
+    )
+    out["msearch_tagged"] = oracle.msearch_sql(
+        [
+            {"match": {"text": "spark"}},
+            {"match_phrase": {"text": "hash table"}},
+            {"bool": {"must": [{"match": {"text": "join"}}],
+                      "filter": [{"term": {"role": "user"}}]}},
+        ],
+        DEFAULT_K,
     )
     out["search_source_filter"] = oracle.source_filtering_sql(
         {"match": {"text": "hash table"}}, ["role", "ts"], DEFAULT_K

@@ -383,3 +383,28 @@ def field_sort(
         .limit(size)
         .select(*key_cols, *[s["field"] for s in sorts if s["field"] not in key_cols])
     )
+
+
+def msearch(
+    docs: DataFrame,
+    queries: list[dict],
+    key_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """_msearch (multi search API, RestMultiSearchAction): each sub-search
+    runs independently over the same snapshot; rows carry the 0-based
+    request index (ES returns one response object per request — flattened
+    here to a tagged union). The per-request plans share one scan when
+    Catalyst can reuse the exchange; there is no cross-request state."""
+    if not queries:
+        raise ValueError("msearch needs at least one query")
+    outs = [
+        Q.search(docs, qd, key_cols, k=k).select(
+            F.lit(i).alias("req"), *key_cols, "score"
+        )
+        for i, qd in enumerate(queries)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

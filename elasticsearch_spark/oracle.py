@@ -1079,6 +1079,19 @@ FROM {a} JOIN transcripts t USING (conv_id, turn_idx)
 ORDER BY {order}, conv_id, turn_idx LIMIT {size}"""
 
 
+def msearch_sql(queries: list[dict], k: int = 10) -> str:
+    """Oracle for cursor.msearch: tagged union of independent top-k runs."""
+    g = _SqlGen()
+    parts = []
+    for i, qd in enumerate(queries):
+        a = g.scored(qd)
+        parts.append(f"""SELECT {i} AS req, conv_id, turn_idx, score FROM (
+  SELECT conv_id, turn_idx, round(score, 4) AS score FROM {a}
+  ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT {k})""")
+    ctes = ",".join(g.ctes)
+    return f"{TRANSCRIPTS_CTE},{ctes}\n" + "\nUNION ALL\n".join(parts)
+
+
 def count_sql(query: dict) -> str:
     """Oracle for cursor.count: matching-doc count."""
     g = _SqlGen()

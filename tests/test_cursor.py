@@ -211,3 +211,18 @@ def test_field_sort_rejects_bad_spec(spark, transcripts):
             transcripts, {"match_all": {}}, KEYS,
             [{"field": "role", "order": "up"}],
         )
+
+
+def test_msearch_oracle(spark, transcripts, duck):
+    # _msearch: independent sub-searches flattened to a tagged union
+    queries = [
+        {"match": {"text": "spark"}},
+        {"match_phrase": {"text": "hash table"}},
+    ]
+    got = cursor.msearch(transcripts, queries, KEYS, k=10)
+    sql = oracle.msearch_sql(queries, 10)
+    assert _rows(got) == _duck(duck, sql, got.columns)
+    reqs = {r.req for r in got.collect()}
+    assert reqs == {0, 1}
+    with pytest.raises(ValueError, match="at least one"):
+        cursor.msearch(transcripts, [], KEYS)
