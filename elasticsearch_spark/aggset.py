@@ -748,6 +748,68 @@ SELECT role, doc_count, sum_turn,
 FROM b ORDER BY doc_count DESC, role""",
 }
 
+# --- extended_stats_bucket sibling pipeline
+# (ExtendedStatsBucketPipelineAggregator.java): count/sum/min/max/sumOfSqrs
+# over sibling buckets, population variance derived sumOfSqrs/count - avg^2,
+# std bounds avg +/- sigma*std (sigma default 2) — the derivation the
+# reference's InternalExtendedStats uses, mirrored in the oracle SQL.
+AGG_QUERIES["agg_extended_stats_bucket"] = {
+    "body": {
+        "aggs": {
+            "role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "sum_turn": {"sum": {"field": "turn_idx"}},
+                    "est": {"extended_stats_bucket": {"buckets_path": "sum_turn"}},
+                },
+            }
+        }
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE},
+b AS (SELECT role, count(*) AS doc_count, cast(sum(turn_idx) as bigint) AS sum_turn
+      FROM transcripts GROUP BY role ORDER BY doc_count DESC, role LIMIT 10),
+s AS (SELECT count(*) AS n, sum(sum_turn) * 1.0 AS s1, sum(sum_turn * sum_turn) * 1.0 AS s2,
+             min(sum_turn) * 1.0 AS mn, max(sum_turn) * 1.0 AS mx
+      FROM b)
+SELECT b.role, b.doc_count, b.sum_turn,
+       s.n AS est_count, round(s.mn, 4) AS est_min, round(s.mx, 4) AS est_max,
+       round(s.s1 / s.n, 4) AS est_avg, round(s.s1, 4) AS est_sum,
+       round(s.s2, 4) AS est_sum_of_squares,
+       round(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 4) AS est_variance,
+       round(sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS est_std_deviation,
+       round(s.s1 / s.n + 2 * sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS est_std_upper,
+       round(s.s1 / s.n - 2 * sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS est_std_lower
+FROM b, s ORDER BY b.doc_count DESC, b.role""",
+}
+
+# --- percentiles_bucket sibling pipeline
+# (PercentilesBucketPipelineAggregator.java): sorted sibling values indexed
+# at round(p/100 * (n-1)) — nearest-rank with half-up rounding, no
+# interpolation (deliberately different from the percentiles metric agg).
+AGG_QUERIES["agg_percentiles_bucket"] = {
+    "body": {
+        "aggs": {
+            "role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "sum_turn": {"sum": {"field": "turn_idx"}},
+                    "pb": {"percentiles_bucket": {"buckets_path": "sum_turn",
+                                                  "percents": [25, 50, 75]}},
+                },
+            }
+        }
+    },
+    "oracle": f"""{TRANSCRIPTS_CTE},
+b AS (SELECT role, count(*) AS doc_count, cast(sum(turn_idx) as bigint) AS sum_turn
+      FROM transcripts GROUP BY role ORDER BY doc_count DESC, role LIMIT 10),
+v AS (SELECT list_sort(list(cast(sum_turn as double))) AS vals, count(*) AS n FROM b)
+SELECT b.role, b.doc_count, b.sum_turn,
+       round(v.vals[cast(round(0.25 * (v.n - 1)) as int) + 1], 4) AS pb_p25,
+       round(v.vals[cast(round(0.50 * (v.n - 1)) as int) + 1], 4) AS pb_p50,
+       round(v.vals[cast(round(0.75 * (v.n - 1)) as int) + 1], 4) AS pb_p75
+FROM b, v ORDER BY b.doc_count DESC, b.role""",
+}
+
 # --- bucket_sort pipeline (BucketSortPipelineAggregationBuilder): re-sort
 # buckets by a metric and truncate
 AGG_QUERIES["agg_bucket_sort"] = {

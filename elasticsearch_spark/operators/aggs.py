@@ -135,6 +135,8 @@ PIPELINE_KINDS = {
     "min_bucket",
     "max_bucket",
     "stats_bucket",
+    "extended_stats_bucket",
+    "percentiles_bucket",
     "bucket_script",
     "bucket_selector",
     "bucket_sort",
@@ -807,6 +809,43 @@ def _apply_pipeline(out: DataFrame, name: str, spec: dict, order: list[str]) -> 
                 out = out.withColumn(f"{name}_{suffix}", fn(src).over(wa))
             return out
         return out.withColumn(name, fns[kind](src).over(wa))
+    if kind == "extended_stats_bucket":
+        # ExtendedStatsBucketPipelineAggregator.java: accumulates count/sum/
+        # min/max/sumOfSqrs over sibling buckets; InternalExtendedStats
+        # derives population variance = sumOfSqrs/count - avg^2, std = sqrt,
+        # bounds = avg +/- sigma*std (sigma default 2).
+        sigma = float(b.get("sigma", 2.0))
+        wa = Window.partitionBy()
+        cnt = F.count(src).over(wa)
+        s = F.sum(src).over(wa).cast("double")
+        avg = s / cnt
+        sq = F.sum(F.col(src) * F.col(src)).over(wa).cast("double")
+        var = sq / cnt - avg * avg
+        std = F.sqrt(var)
+        return (
+            out.withColumn(f"{name}_count", cnt)
+            .withColumn(f"{name}_min", F.min(src).over(wa).cast("double"))
+            .withColumn(f"{name}_max", F.max(src).over(wa).cast("double"))
+            .withColumn(f"{name}_avg", avg)
+            .withColumn(f"{name}_sum", s)
+            .withColumn(f"{name}_sum_of_squares", sq)
+            .withColumn(f"{name}_variance", var)
+            .withColumn(f"{name}_std_deviation", std)
+            .withColumn(f"{name}_std_upper", avg + F.lit(sigma) * std)
+            .withColumn(f"{name}_std_lower", avg - F.lit(sigma) * std)
+        )
+    if kind == "percentiles_bucket":
+        # PercentilesBucketPipelineAggregator.java: Collections.sort(data);
+        # percentile = data[Math.round(p/100 * (n-1))] — nearest-rank with
+        # half-up rounding, NO interpolation (unlike the percentiles metric).
+        pcts = b.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+        wa = Window.partitionBy()
+        vals = F.sort_array(F.collect_list(F.col(src).cast("double")).over(wa))
+        n = F.size(vals)
+        for p in pcts:
+            idx = F.round(F.lit(float(p) / 100.0) * (n - 1)).cast("int") + 1
+            out = out.withColumn(f"{name}_p{_pname(p)}", F.element_at(vals, idx))
+        return out
     if kind == "bucket_script":
         # script references bucket columns through buckets_path params
         expr = b["script"]

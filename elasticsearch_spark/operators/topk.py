@@ -48,6 +48,25 @@ from .index_build import BLOCK_RANGE, INDEXED_FIELDS, KEYWORD_FIELDS, kw_field
 BUCKET_BLOCKS = 64  # blocks per kernel group: intra-segment parallelism unit
 DENY_FID = -1  # channel id reserved for positional deletes
 
+# Multi-term expansion bounds (ES/Lucene parity). ES sets
+# BooleanQuery.setMaxClauseCount from indices.query.bool.max_clause_count
+# (default 1024, SearchModule.java:792) and refuses broader rewrites with
+# TooManyClauses; fuzzy / match_phrase_prefix default max_expansions=50
+# (FuzzyQueryBuilder.java / MatchQuery.java); Lucene's Intervals.prefix caps
+# at 128 (Intervals.DEFAULT_MAX_EXPANSIONS) and throws IllegalStateException.
+# At 10^12-turn scale the term dictionary has hundreds of millions of terms;
+# these caps keep every expansion collect O(cap), never O(dictionary).
+MAX_CLAUSE_COUNT = 1024
+DEFAULT_MAX_EXPANSIONS = 50
+INTERVALS_MAX_EXPANSIONS = 128
+
+
+class TooManyClauses(ValueError):
+    """A prefix/wildcard/regexp expanded past max_clause_count terms — the
+    analog of Lucene's IndexSearcher.TooManyClauses, raised loudly instead of
+    collecting an unbounded term list to the driver (ES raises the same via
+    BooleanQuery.setMaxClauseCount, SearchModule.java:792)."""
+
 
 class IndexedFallbackWarning(UserWarning):
     """search_indexed could not lower the query to the postings kernel or the
@@ -297,11 +316,19 @@ def term_stats_lookup(
 def expand_terms(
     spark: SparkSession, store: SegmentStore, snap: Snapshot,
     field_name: str, kind: str, value, max_expansions: int | None = None,
+    max_clause_count: int | None = None,
 ) -> list[str]:
     """Multi-term expansion against the term dictionary (Lucene
     MultiTermQuery term enumeration over the terms dict). prefix pushes a
     StringStartsWith filter into the parquet scan; wildcard/regexp push rlike;
-    fuzzy scans the (small) dictionary with a levenshtein expression."""
+    fuzzy scans the (small) dictionary with a levenshtein expression.
+
+    ALWAYS bounded: the collect is LIMIT-ed inside the job, so the driver
+    never holds more than max(max_expansions, max_clause_count)+1 terms.
+    max_expansions truncates silently in term order (ES fuzzy /
+    match_phrase_prefix semantics); max_clause_count raises TooManyClauses
+    past the cap (ES prefix/wildcard/regexp → BooleanQuery rewrite guard).
+    With neither given, MAX_CLAUSE_COUNT applies as the backstop."""
     parts = []
     for seg in snap.segments:
         d = spark.read.parquet(store.term_stats_path(seg.segment_id))
@@ -326,10 +353,23 @@ def expand_terms(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    # one expansion job across all segments' dictionaries
-    terms = sorted({r.term for r in df.distinct().collect()})
+    # one expansion job across all segments' dictionaries, LIMIT-ed in-plan:
+    # the sort + limit run distributed (TakeOrderedAndProject) and the driver
+    # receives at most cap+1 rows regardless of dictionary size
     if max_expansions is not None:
-        terms = terms[:max_expansions]
+        cap, loud = int(max_expansions), False
+    else:
+        cap = int(MAX_CLAUSE_COUNT if max_clause_count is None else max_clause_count)
+        loud = True
+    rows = df.distinct().orderBy("term").limit(cap + 1).collect()
+    terms = [r.term for r in rows]
+    if len(terms) > cap:
+        if loud:
+            raise TooManyClauses(
+                f"{kind} on {field_name!r} expands to more than {cap} terms "
+                f"(max_clause_count); narrow the pattern or raise the cap"
+            )
+        terms = terms[:cap]
     return terms
 
 
@@ -427,14 +467,34 @@ class _Lowerer:
 
     def keyword_idf_leaf(self, col: str, values: list) -> ChannelLeaf:
         """term/terms in scoring context: score = idf(doc's value) on a
-        norms-less keyword field (query_dsl._keyword_idf_scored twin). df per
-        value comes from one pushdown-count job (the TermStates lookup)."""
-        rows = (
-            self.docs.where(F.col(col).isin(values))
-            .groupBy(col).agg(F.count(F.lit(1)).alias("df")).collect()
-        )
+        norms-less keyword field (query_dsl._keyword_idf_scored twin).
+
+        df per value comes from the keyword subfield's term dictionary when
+        the store has one — an O(values) point lookup, the same TermStates
+        seek every postings leaf does — and falls back to a docs-column
+        count only for true legacy segments or stores with deletes (the
+        dictionary df still counts deleted docs; the oracle view doesn't)."""
         n = self.snap.n_docs
-        dfs = {r[0]: int(r[1]) for r in rows}
+        dfs: dict | None = None
+        if (
+            not self.snap.delete_files
+            and all(isinstance(v, str) for v in values)
+            and all(
+                kw_field(col) in (seg.metrics.get("posting_fields") or ())
+                for seg in self.snap.segments
+            )
+        ):
+            kwf = kw_field(col)
+            stats = term_stats_lookup(
+                self.spark, self.store, self.snap, [(kwf, v) for v in values]
+            )
+            dfs = {v: stats.get((kwf, v), 0) for v in values}
+        if dfs is None:
+            rows = (
+                self.docs.where(F.col(col).isin(values))
+                .groupBy(col).agg(F.count(F.lit(1)).alias("df")).collect()
+            )
+            dfs = {r[0]: int(r[1]) for r in rows}
         if len(values) == 1:
             v = values[0]
             idf = math.log(1.0 + (n - dfs.get(v, 0) + 0.5) / (dfs.get(v, 0) + 0.5))
@@ -480,12 +540,25 @@ class _Lowerer:
         if not prefix or not qterms:
             return PhraseLeaf(field=field_, terms=qterms, slop=slop)
         lead, pref = qterms[:-1], qterms[-1]
-        exps = expand_terms(self.spark, self.store, self.snap, field_, "prefix", pref)
+        # ES MatchQuery default: match_phrase_prefix truncates its trailing
+        # expansion at max_expansions (50) silently, in term order
+        exps = expand_terms(
+            self.spark, self.store, self.snap, field_, "prefix", pref,
+            max_expansions=int(spec.get("max_expansions", DEFAULT_MAX_EXPANSIONS)),
+        )
         return PhraseLeaf(field=field_, terms=lead, prefix_expansions=exps)
 
-    def expansion_leaf(self, field_: str, kind: str, value) -> object:
+    def expansion_leaf(
+        self, field_: str, kind: str, value, max_expansions: int | None = None
+    ) -> object:
+        # fuzzy truncates at max_expansions (ES default 50); prefix/wildcard/
+        # regexp have no truncation in ES — they raise TooManyClauses past
+        # max_clause_count, mirrored here (expand_terms loud path)
+        caps = dict(max_expansions=max_expansions) if max_expansions is not None else {}
         if field_ in INDEXED_FIELDS:
-            exps = expand_terms(self.spark, self.store, self.snap, field_, kind, value)
+            exps = expand_terms(
+                self.spark, self.store, self.snap, field_, kind, value, **caps
+            )
             return TermsLeaf(field=field_, terms=exps, need=1, const_score=1.0)
         if field_ in KEYWORD_FIELDS and all(
             kw_field(field_) in (seg.metrics.get("posting_fields") or ())
@@ -494,7 +567,8 @@ class _Lowerer:
             # MultiTermQuery enumeration over the keyword subfield's term
             # dictionary (whole raw values) — O(dictionary), not O(corpus)
             exps = expand_terms(
-                self.spark, self.store, self.snap, kw_field(field_), kind, value
+                self.spark, self.store, self.snap, kw_field(field_), kind, value,
+                **caps,
             )
             return TermsLeaf(field=kw_field(field_), terms=exps, need=1, const_score=1.0)
         # keyword field without subfield postings: whole-value test via SQL
@@ -676,7 +750,10 @@ class _Lowerer:
         if kind == "fuzzy":
             (col, v), = body.items()
             spec = v if isinstance(v, dict) else {"value": v}
-            return self.expansion_leaf(col, "fuzzy", (spec["value"], int(spec.get("fuzziness", 2))))
+            return self.expansion_leaf(
+                col, "fuzzy", (spec["value"], int(spec.get("fuzziness", 2))),
+                max_expansions=int(spec.get("max_expansions", DEFAULT_MAX_EXPANSIONS)),
+            )
         if kind == "constant_score":
             inner = self.lower(body["filter"])
             return ConstScoreNode(inner, float(body.get("boost", 1.0)))
@@ -770,7 +847,9 @@ class _Lowerer:
                     if set(st) != {"prefix"}:
                         raise ValueError(f"unsupported intervals step: {st}")
                     exps = expand_terms(
-                        self.spark, self.store, self.snap, field_, "prefix", st["prefix"]
+                        self.spark, self.store, self.snap, field_, "prefix",
+                        st["prefix"],
+                        max_clause_count=INTERVALS_MAX_EXPANSIONS,
                     )
                     if not exps:
                         return TermsLeaf(field=field_, terms=[], need=1)
@@ -1948,6 +2027,10 @@ def search_indexed(
 
     try:
         plan = lower_query(spark, store, snap, docs, nq)
+    except TooManyClauses:
+        # never demote to the full-scan plan: the whole point of the cap is
+        # that a broad pattern fails loudly instead of running O(corpus)
+        raise
     except ValueError as e:
         return _logical_fallback(str(e))
     del_df = _deletes_df(spark, store, snap)

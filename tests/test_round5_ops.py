@@ -1,0 +1,228 @@
+"""Round-5 operators: bounded multi-term expansion (max_expansions /
+max_clause_count), the last known 100x failure mode from round 4's VERDICT.
+
+ES parity: indices.query.bool.max_clause_count (1024, set via
+BooleanQuery.setMaxClauseCount at SearchModule.java:792) makes broad
+prefix/wildcard/regexp rewrites raise TooManyClauses; fuzzy and
+match_phrase_prefix truncate silently at max_expansions=50
+(FuzzyQueryBuilder.java / MatchQuery.java); Lucene Intervals.prefix caps at
+128 (Intervals.DEFAULT_MAX_EXPANSIONS) with IllegalStateException.
+
+The critical scale property: the expansion collect is LIMIT-ed *inside* the
+Spark job, so the driver never materializes more than cap+1 terms no matter
+how large the term dictionary is.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def store(spark, transcripts, tmp_path_factory):
+    from elasticsearch_spark.operators import index_build
+
+    root = str(tmp_path_factory.mktemp("r5idx"))
+    return index_build.build_index(spark, transcripts, root, n_slices=2, partitions=4)
+
+
+class TestExpansionCaps:
+    def test_wildcard_past_clause_count_raises(self, spark, store):
+        from elasticsearch_spark.operators import topk
+
+        snap = store.snapshot()
+        # the sf0.001 dictionary has ~30 terms; cap below that must raise
+        with pytest.raises(topk.TooManyClauses, match="max_clause_count"):
+            topk.expand_terms(
+                spark, store, snap, "text", "wildcard", "*", max_clause_count=5
+            )
+
+    def test_max_expansions_truncates_in_term_order(self, spark, store):
+        from elasticsearch_spark.operators import topk
+
+        snap = store.snapshot()
+        full = topk.expand_terms(
+            spark, store, snap, "text", "prefix", "", max_clause_count=100_000
+        )
+        assert len(full) > 3
+        trunc = topk.expand_terms(
+            spark, store, snap, "text", "prefix", "", max_expansions=3
+        )
+        # ES/Lucene keep the first max_expansions terms in term order
+        assert trunc == sorted(full)[:3]
+
+    def test_driver_collect_is_bounded_by_plan_limit(self, spark, store):
+        """The bound must be a LIMIT in the plan (TakeOrderedAndProject /
+        CollectLimit), not a post-collect slice — that is what keeps a broad
+        wildcard from shipping a 10^8-term dictionary to the driver."""
+        import inspect
+
+        from elasticsearch_spark.operators import topk
+
+        src = inspect.getsource(topk.expand_terms)
+        assert ".limit(cap + 1)" in src
+        # and no unbounded collect remains
+        assert "df.distinct().collect()" not in src
+
+    def test_search_wildcard_raises_loudly_when_capped(self, spark, store, monkeypatch):
+        from elasticsearch_spark.operators import topk
+
+        monkeypatch.setattr(topk, "MAX_CLAUSE_COUNT", 5)
+        with pytest.raises(topk.TooManyClauses):
+            topk.search_indexed(spark, store, {"wildcard": {"text": "*"}}, k=5)
+
+    def test_fuzzy_honors_query_max_expansions(self, spark, store, transcripts):
+        """fuzzy with a huge edit distance matches the whole dictionary; with
+        max_expansions=2 only the first two terms survive — and the query
+        still runs (silent truncation, not an error), per ES semantics."""
+        from elasticsearch_spark.operators import topk
+
+        qd = {"fuzzy": {"text": {"value": "query", "fuzziness": 2,
+                                 "max_expansions": 2}}}
+        out = topk.search_indexed(spark, store, qd, k=5)
+        assert out.count() > 0
+
+    def test_existing_narrow_expansions_unchanged(self, spark, store, transcripts):
+        """Default caps must not change any registered fixture: narrow
+        patterns expand far below 50/1024 so indexed == logical still."""
+        from elasticsearch_spark.operators import topk
+        from elasticsearch_spark.plans import query_dsl as Q
+
+        for qd in (
+            {"prefix": {"text": "qu"}},
+            {"wildcard": {"text": "ta*"}},
+            {"fuzzy": {"text": {"value": "quary", "fuzziness": 1}}},
+            {"match_phrase_prefix": {"text": "table ha"}},
+        ):
+            a = sorted(
+                tuple(r) for r in topk.search_indexed(spark, store, qd, k=10)
+                .select(*KEYS).collect()
+            )
+            b = sorted(
+                tuple(r) for r in Q.search(transcripts, qd, KEYS, k=10)
+                .select(*KEYS).collect()
+            )
+            assert a == b, qd
+
+    def test_intervals_prefix_step_cap(self, spark, store, monkeypatch):
+        from elasticsearch_spark.operators import topk
+
+        monkeypatch.setattr(topk, "INTERVALS_MAX_EXPANSIONS", 0)
+        qd = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "hash"}},
+                    {"span_multi": {"match": {"prefix": {"text": "ta"}}}},
+                ],
+                "slop": 2,
+                "in_order": True,
+            }
+        }
+        with pytest.raises(topk.TooManyClauses):
+            topk.search_indexed(spark, store, qd, k=5)
+
+
+class TestKeywordDfFromDictionary:
+    """VERDICT r4 'what's wrong' #2: scoring-context keyword df must come
+    from the keyword subfield's term dictionary (point lookup), never an
+    O(corpus) docs-column scan, on current stores."""
+
+    def test_keyword_idf_leaf_reads_dictionary_not_docs(
+        self, spark, store, transcripts, monkeypatch
+    ):
+        from elasticsearch_spark.operators import topk
+
+        snap = store.snapshot()
+        low = topk._Lowerer(spark, store, snap, transcripts)
+
+        def boom(*a, **k):
+            raise AssertionError("keyword df took a docs-column scan")
+
+        # instance-level patch: only self.docs is poisoned; the term
+        # dictionary reads (spark.read.parquet(...).where) are untouched
+        monkeypatch.setattr(transcripts, "where", boom)
+        leaf = low.keyword_idf_leaf("role", ["user", "assistant"])
+        # df resolved from the dictionary: the CASE channel has real idf arms
+        assert leaf.const is None or leaf.const > 0
+
+    def test_keyword_idf_leaf_matches_docs_scan_counts(self, spark, store, transcripts):
+        """Dictionary df == docs-count df on a store without deletes, so the
+        two sources are interchangeable where both are legal."""
+        from elasticsearch_spark.operators import topk
+
+        snap = store.snapshot()
+        kwf = topk.kw_field("role")
+        stats = topk.term_stats_lookup(
+            spark, store, snap, [(kwf, "user"), (kwf, "assistant")]
+        )
+        counts = {
+            r[0]: r[1]
+            for r in transcripts.groupBy("role").count().collect()
+        }
+        assert stats[(kwf, "user")] == counts["user"]
+        assert stats[(kwf, "assistant")] == counts["assistant"]
+
+
+class TestSiblingPipelineAggs:
+    """extended_stats_bucket / percentiles_bucket — the two reference
+    pipeline aggregations that had no analog entering round 5 (reg
+    SearchModule.java:479-568)."""
+
+    BODY = {
+        "aggs": {
+            "role": {
+                "terms": {"field": "role", "size": 10},
+                "aggs": {
+                    "sum_turn": {"sum": {"field": "turn_idx"}},
+                    "est": {"extended_stats_bucket": {"buckets_path": "sum_turn"}},
+                    "pb": {"percentiles_bucket": {"buckets_path": "sum_turn",
+                                                  "percents": [25, 50, 75]}},
+                },
+            }
+        }
+    }
+
+    def test_extended_stats_bucket_matches_numpy(self, spark, transcripts):
+        import numpy as np
+
+        from elasticsearch_spark.operators import aggs
+
+        out = aggs.aggregate(transcripts, self.BODY).toPandas()
+        vals = np.sort(out["sum_turn"].to_numpy(dtype=float))
+        n = len(vals)
+        avg = vals.sum() / n
+        var = (vals ** 2).sum() / n - avg * avg
+        row = out.iloc[0]
+        assert row["est_count"] == n
+        assert row["est_min"] == vals.min() and row["est_max"] == vals.max()
+        assert abs(row["est_avg"] - avg) < 1e-9
+        assert abs(row["est_variance"] - var) < 1e-6
+        assert abs(row["est_std_deviation"] - var ** 0.5) < 1e-6
+        assert abs(row["est_std_upper"] - (avg + 2 * var ** 0.5)) < 1e-6
+        # percentiles_bucket: ES nearest-rank round(p/100*(n-1)), no interp
+        for p in (25, 50, 75):
+            idx = int(round(p / 100.0 * (n - 1)))
+            assert row[f"pb_p{p}"] == vals[idx]
+
+    def test_single_bucket_percentiles(self, spark, transcripts):
+        """n=1 edge: every percentile is the single value (index 0)."""
+        from elasticsearch_spark.operators import aggs
+
+        body = {
+            "aggs": {
+                "role": {
+                    "terms": {"field": "role", "size": 1},
+                    "aggs": {
+                        "sum_turn": {"sum": {"field": "turn_idx"}},
+                        "pb": {"percentiles_bucket": {"buckets_path": "sum_turn",
+                                                      "percents": [1, 99]}},
+                    },
+                }
+            }
+        }
+        out = aggs.aggregate(transcripts, body).toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["pb_p1"] == out.iloc[0]["sum_turn"]
+        assert out.iloc[0]["pb_p99"] == out.iloc[0]["sum_turn"]
