@@ -27,11 +27,18 @@ runs as an Arrow-batched pandas UDF rather than a codegen expression
 (40 measure-conditioned suffix rules don't express as Columns); the hot
 default `standard` chain stays pure codegen.
 
-`synonym` (SynonymTokenFilterFactory.java, Solr rule format): single-token
-rules only — `a, b => c` (replace) and `a, b, c` (equivalence set; expand
-defaults true). Multi-word synonyms need Lucene's token-graph machinery and
-raise ValueError. Expansion inserts tokens in place, shifting subsequent
-positions (ES flattens graphs the same way at index time).
+`synonym` (SynonymTokenFilterFactory.java, Solr rule format): `a, b => c`
+(replace) and `a, b, c` (equivalence set; expand defaults true), with
+MULTI-WORD phrases on either side. Multi-word rules follow ES's own
+index-time behavior — SynonymGraphFilter output flattened by
+FlattenGraphFilter, so every alternative's tokens appear in the flat stream
+("sausage" positions; phrase queries across flattened synonyms carry the
+same documented limitation as ES index-time synonyms). Matching is greedy
+longest-rule-first over the token stream; replaced output never re-matches
+later rules (single-pass, like SynonymMap). Deterministic approximation
+(documented): when two same-length rules overlap in the input, rule order is
+longest-then-lexicographic rather than Lucene's strict leftmost priority;
+the driver twin implements the identical algorithm so parity always holds.
 
 Out of scope (catalogued, not built): language-specific analyzers beyond
 porter/english_light, phonetic, ICU; the north rule's corpus is
@@ -151,6 +158,9 @@ def _apply_filter(toks: Column, f, protected: list[str] | None = None) -> Column
         )
         if not mapping:
             return toks
+        if any(" " in k for k in mapping):
+            return _synonym_multiword_expr(toks, mapping)
+        # all-single-token rules: per-token map lookup, pure codegen
         kv = []
         for k, vs in mapping.items():
             kv += [F.lit(k), F.array(*[F.lit(v) for v in vs])]
@@ -172,6 +182,18 @@ def _apply_filter(toks: Column, f, protected: list[str] | None = None) -> Column
         for k, v in mapping.items():
             kv += [F.lit(k), F.lit(v)]
         m = F.create_map(*kv)
+        if protected:
+            # Lucene's StemmerOverrideFilter honors KeywordAttribute: tokens
+            # keyword_marker'd (or rewritten by an earlier override, which
+            # sets the attribute) pass through. Same value-set approximation
+            # as the `stemmer` guard below, twin-identical.
+            arr = F.array(*[F.lit(w) for w in protected])
+            return F.transform(
+                toks,
+                lambda t: F.when(F.array_contains(arr, t), t).otherwise(
+                    F.coalesce(F.element_at(m, t), t)
+                ),
+            )
         return F.transform(toks, lambda t: F.coalesce(F.element_at(m, t), t))
     if name == "stemmer":
         lang = params.get("language", "minimal_english")
@@ -232,39 +254,83 @@ def _chain_protected(spec: dict, upto: int) -> list[str]:
 
 
 def parse_synonym_rules(rules: list[str], expand: bool = True) -> dict:
-    """Solr-format synonym rules -> {token: [replacement tokens]}.
+    """Solr-format synonym rules -> {phrase: [flattened output tokens]}.
 
-    `a, b => c, d` replaces any LHS token with the RHS list; `a, b, c` is an
-    equivalence set — expand=True maps every member to the full set (ES
-    default), expand=False maps every member to the first. Single-token terms
-    only (multi-word rules need token graphs; fail loudly)."""
+    `a, b => c, d` replaces any LHS phrase with the concatenation of the RHS
+    variants' tokens; `a, b, c` is an equivalence set — expand=True maps
+    every member to all variants' tokens in rule order (ES default),
+    expand=False to the first variant's tokens. Phrases may be MULTI-WORD
+    (keys contain spaces); outputs are FLAT token lists, matching ES's
+    index-time SynonymGraphFilter + FlattenGraphFilter stream where every
+    stacked alternative's tokens land in the flat position stream."""
     mapping: dict[str, list[str]] = {}
+
+    def norm(t: str) -> str:
+        return " ".join(t.split())
+
     for rule in rules:
         if "=>" in rule:
             lhs, rhs = rule.split("=>", 1)
-            lhs_t = [t.strip() for t in lhs.split(",") if t.strip()]
-            rhs_t = [t.strip() for t in rhs.split(",") if t.strip()]
+            lhs_t = [norm(t) for t in lhs.split(",") if t.strip()]
+            rhs_t = [norm(t) for t in rhs.split(",") if t.strip()]
             if not lhs_t or not rhs_t:
                 raise ValueError(f"bad synonym rule: {rule!r}")
-            for t in lhs_t + rhs_t:
-                if " " in t:
-                    raise ValueError(
-                        f"multi-word synonym {t!r} unsupported (token graphs)"
-                    )
+            out = [w for v in rhs_t for w in v.split(" ")]
             for t in lhs_t:
-                mapping[t] = rhs_t
+                mapping[t] = out
         else:
-            terms = [t.strip() for t in rule.split(",") if t.strip()]
+            terms = [norm(t) for t in rule.split(",") if t.strip()]
             if len(terms) < 2:
                 raise ValueError(f"bad synonym rule: {rule!r}")
             for t in terms:
-                if " " in t:
-                    raise ValueError(
-                        f"multi-word synonym {t!r} unsupported (token graphs)"
-                    )
-            for t in terms:
-                mapping[t] = terms if expand else [terms[0]]
+                src = terms if expand else [terms[0]]
+                mapping[t] = [w for v in src for w in v.split(" ")]
     return mapping
+
+
+# Sentinel marking synonym-output tokens inside the space-joined stream so a
+# later rule can never re-match replaced text (single-pass SynonymMap
+# semantics). Stripped before re-splitting; cannot occur in real tokens (the
+# standard/letter tokenizers emit alnum runs; whitespace-tokenized corpora
+# with NUL bytes are out of scope).
+_SYN_SENTINEL = "\x00"
+
+
+def _synonym_rule_order(mapping: dict) -> list[str]:
+    """Greedy longest-rule-first (SynonymMap prefers the longest match),
+    ties broken lexicographically for determinism."""
+    return sorted(mapping, key=lambda k: (-len(k.split(" ")), k))
+
+
+def _synonym_multiword_expr(toks: Column, mapping: dict) -> Column:
+    """Multi-word synonym application as pure JVM expressions: the token
+    array is space-joined, each rule rewrites (?<= )\\Qlhs\\E(?= ) (the
+    lookarounds keep boundary spaces so adjacent matches both fire), outputs
+    are sentinel-prefixed so later rules can't re-match them, then the
+    stream re-splits. Stays in whole-stage codegen — no Python."""
+    joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    for lhs in _synonym_rule_order(mapping):
+        out = " ".join(_SYN_SENTINEL + t for t in mapping[lhs])
+        # literal replacement: escape Java's \ and $ group references
+        out = out.replace("\\", "\\\\").replace("$", "\\$")
+        joined = F.regexp_replace(joined, f"(?<= )\\Q{lhs}\\E(?= )", out)
+    joined = F.replace(joined, F.lit(_SYN_SENTINEL), F.lit(""))
+    return F.filter(F.split(joined, " "), lambda t: t != "")
+
+
+def _py_synonym_multiword(toks: list[str], mapping: dict) -> list[str]:
+    """Driver twin of _synonym_multiword_expr — identical algorithm."""
+    import re
+
+    joined = " " + " ".join(toks) + " "
+    for lhs in _synonym_rule_order(mapping):
+        out = " ".join(_SYN_SENTINEL + t for t in mapping[lhs])
+        joined = re.sub(
+            "(?<= )" + re.escape(lhs) + "(?= )",
+            out.replace("\\", "\\\\"), joined,
+        )
+    joined = joined.replace(_SYN_SENTINEL, "")
+    return [t for t in joined.split(" ") if t]
 
 
 def _porter_udf(protected: list[str] | None = None):
@@ -459,12 +525,15 @@ def analyze_text(text: str, analyzer: str | dict = "standard") -> list[str]:
             mapping = parse_synonym_rules(
                 params.get("synonyms", []), params.get("expand", True)
             )
-            toks = [s for t in toks for s in mapping.get(t, [t])]
+            if any(" " in k for k in mapping):
+                toks = _py_synonym_multiword(toks, mapping)
+            else:
+                toks = [s for t in toks for s in mapping.get(t, [t])]
         elif name == "keyword_marker":
             pass  # marking handled via _chain_protected
         elif name == "stemmer_override":
             m = _override_rules(params.get("rules", []))
-            toks = [m.get(t, t) for t in toks]
+            toks = [t if t in protected else m.get(t, t) for t in toks]
         elif name == "stemmer":
             if params.get("language", "minimal_english") == "porter":
                 from .porter import porter_stem

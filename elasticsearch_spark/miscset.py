@@ -137,6 +137,40 @@ SELECT * FROM (VALUES
 ) AS t(token, position)"""
 
 
+# --- _analyze with MULTI-WORD synonyms (round 5; ref
+# SynonymGraphTokenFilterFactory.java + Lucene FlattenGraphFilter — ES's own
+# index-time flattening). Oracle is the HAND-DERIVED flattened stream:
+#   standard+lowercase: from ny to the usa a hash table in new york
+#   rules (longest-first): "hash table"=>hashmap; "ny, new york" expands
+#   both ways to [ny new york]; usa => united states
+#   flat: from ny new york to the united states a hashmap in ny new york
+_SYN_MULTIWORD_CHAIN = {
+    "tokenizer": "standard",
+    "filters": [
+        "lowercase",
+        {"type": "synonym",
+         "synonyms": ["ny, new york", "hash table => hashmap",
+                      "usa => united states"]},
+    ],
+}
+
+
+def fx_analyze_synonym_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suggest.analyze_api(
+        spark,
+        "From NY to the USA: a hash table in New York",
+        _SYN_MULTIWORD_CHAIN,
+    )
+
+
+_ANALYZE_SYN_MULTIWORD_ORACLE = """
+SELECT * FROM (VALUES
+  ('from', 0), ('ny', 1), ('new', 2), ('york', 3), ('to', 4), ('the', 5),
+  ('united', 6), ('states', 7), ('a', 8), ('hashmap', 9), ('in', 10),
+  ('ny', 11), ('new', 12), ('york', 13)
+) AS t(token, position)"""
+
+
 # --- Get / Multi-get (ShardGetService.java:92-125, TransportMultiGetAction):
 # point reads by _id = conv_id#turn_idx against the latest snapshot view
 _GET_IDS = ["conv_000002#7", "conv_000005#0", "conv_000009#19"]
@@ -730,6 +764,7 @@ MISC_QUERY_FNS = {
     "suggest_completion": fx_completion_suggest,
     "analyze_tokens": fx_analyze,
     "analyze_synonym_porter": fx_analyze_synonym_porter,
+    "analyze_synonym_multiword": fx_analyze_synonym_multiword,
     "doc_get": fx_get,
     "doc_multi_get": fx_multi_get,
     "percolate_stored": fx_percolate,
@@ -753,6 +788,7 @@ MISC_ORACLE_SQL = {
     "suggest_completion": _COMPLETION_ORACLE,
     "analyze_tokens": _ANALYZE_ORACLE,
     "analyze_synonym_porter": _ANALYZE_SYN_PORTER_ORACLE,
+    "analyze_synonym_multiword": _ANALYZE_SYN_MULTIWORD_ORACLE,
     "doc_get": _get_oracle(_GET_IDS[:1]),
     "doc_multi_get": _get_oracle(_GET_IDS),
     "percolate_stored": _PERCOLATE_ORACLE,

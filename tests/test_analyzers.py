@@ -197,8 +197,11 @@ def test_synonym_rules():
     assert m["x"] == ["x", "y"] and m["y"] == ["x", "y"]
     m2 = parse_synonym_rules(["x, y"], expand=False)
     assert m2["x"] == ["x"] and m2["y"] == ["x"]
-    with pytest.raises(ValueError, match="multi-word"):
-        parse_synonym_rules(["big apple => nyc"])
+    # round 5: multi-word phrases parse to flattened output token lists
+    m3 = parse_synonym_rules(["big apple => nyc", "ny, new york"])
+    assert m3["big apple"] == ["nyc"]
+    assert m3["ny"] == ["ny", "new", "york"]
+    assert m3["new york"] == ["ny", "new", "york"]
 
 
 def test_synonym_expansion_in_chain():

@@ -124,6 +124,92 @@ class TestExpansionCaps:
             topk.search_indexed(spark, store, qd, k=5)
 
 
+class TestMultiWordSynonyms:
+    """Index-time token-graph flattening (SynonymGraphTokenFilterFactory +
+    FlattenGraphFilter analog): multi-word rules rewrite the token stream
+    greedily longest-first; outputs never re-match later rules. Executor
+    expression and driver twin must agree token-for-token."""
+
+    CHAIN = {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "synonym",
+             "synonyms": ["ny, new york", "hash table => hashmap",
+                          "usa => united states"]},
+        ],
+    }
+
+    CASES = [
+        ("Visit New York and the NY office",
+         ["visit", "ny", "new", "york", "and", "the", "ny", "new", "york",
+          "office"]),
+        ("a hash table beats a tree", ["a", "hashmap", "beats", "a", "tree"]),
+        ("USA", ["united", "states"]),
+        # adjacent matches share a boundary space — both must fire
+        ("new york new york",
+         ["ny", "new", "york", "ny", "new", "york"]),
+        # replaced output must NOT re-match: the york emitted for the first
+        # ny cannot combine with the following plain "new" text
+        ("new new york york", ["new", "ny", "new", "york", "york"]),
+        ("", []),
+        ("no synonyms here", ["no", "synonyms", "here"]),
+    ]
+
+    def test_driver_twin(self):
+        from elasticsearch_spark.functions import analyzers as A
+
+        for text, want in self.CASES:
+            assert A.analyze_text(text, self.CHAIN) == want, text
+
+    def test_executor_parity(self, spark):
+        from elasticsearch_spark.functions import analyzers as A
+
+        df = spark.createDataFrame([(t,) for t, _ in self.CASES], "text string")
+        rows = df.select(A.tokens("text", self.CHAIN).alias("t")).collect()
+        for (text, want), r in zip(self.CASES, rows):
+            assert list(r.t) == want, text
+
+    def test_expand_false_multiword(self):
+        from elasticsearch_spark.functions import analyzers as A
+
+        chain = {
+            "tokenizer": "standard",
+            "filters": [
+                "lowercase",
+                {"type": "synonym", "synonyms": ["ny, new york"],
+                 "expand": False},
+            ],
+        }
+        # contract to the FIRST variant's tokens (ES expand=false)
+        assert A.analyze_text("new york calling", chain) == ["ny", "calling"]
+        assert A.analyze_text("ny calling", chain) == ["ny", "calling"]
+
+
+class TestStemmerOverrideKeywordProtection:
+    """ADVICE r4 #3: Lucene's StemmerOverrideFilter honors KeywordAttribute —
+    a keyword_marker'd token must pass through a later stemmer_override."""
+
+    CHAIN = {
+        "tokenizer": "standard",
+        "filters": [
+            "lowercase",
+            {"type": "keyword_marker", "keywords": ["running"]},
+            {"type": "stemmer_override",
+             "rules": ["running => sprint", "jumped => jump"]},
+        ],
+    }
+
+    def test_twin_and_executor(self, spark):
+        from elasticsearch_spark.functions import analyzers as A
+
+        want = ["running", "jump", "runs"]
+        assert A.analyze_text("Running jumped runs", self.CHAIN) == want
+        df = spark.createDataFrame([("Running jumped runs",)], "text string")
+        assert list(df.select(A.tokens("text", self.CHAIN).alias("t"))
+                    .collect()[0].t) == want
+
+
 class TestKeywordDfFromDictionary:
     """VERDICT r4 'what's wrong' #2: scoring-context keyword df must come
     from the keyword subfield's term dictionary (point lookup), never an
