@@ -281,6 +281,47 @@ _PERCOLATE_ORACLE = (
     + "\n) ORDER BY conv_id, turn_idx, query_id"
 )
 
+
+# --- Percolate scan arm (round 5): keyword-only / pure-negative / range-only
+# stored queries — QueryAnalyzer.java marks these matchAllDocs and ES
+# verifies per-doc via MemoryIndex; here the scan arm evaluates them exactly
+# over the percolated batch. One term-join query rides along to prove the
+# two arms union correctly.
+PERCOLATE_SCAN_QUERIES = {
+    "q_role_kw": {"term": {"role": "user"}},
+    "q_negative": {
+        "bool": {"must_not": [{"match": {"text": "customer window"}}]}
+    },
+    "q_range_only": {"range": {"turn_idx": {"gte": 1}}},
+    "q_spark": {"match": {"text": "spark"}},
+}
+
+
+def fx_percolate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import percolate as P
+
+    docs = TR.transcripts_view(spark, sf_dir).where("turn_idx <= 1")
+    return P.percolate(docs, PERCOLATE_SCAN_QUERIES)
+
+
+_PERCOLATE_SCAN_ORACLE = (
+    TRANSCRIPTS_CTE
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        [
+            "SELECT conv_id, turn_idx, 'q_role_kw' AS query_id FROM transcripts "
+            "WHERE turn_idx <= 1 AND role = 'user'",
+            "SELECT conv_id, turn_idx, 'q_negative' AS query_id FROM transcripts "
+            f"WHERE turn_idx <= 1 AND len(list_filter(list_distinct({_TOKS}), "
+            "t -> list_contains(['customer', 'window'], t))) = 0",
+            "SELECT conv_id, turn_idx, 'q_range_only' AS query_id FROM transcripts "
+            "WHERE turn_idx <= 1 AND turn_idx >= 1",
+            _percolate_arm("q_spark", ["spark"], 1),
+        ]
+    )
+    + "\n) ORDER BY conv_id, turn_idx, query_id"
+)
+
 # --- Search template (modules/lang-mustache/): render {{param}} placeholders
 # into a query body, then run it; the oracle runs the rendered query
 SEARCH_TEMPLATE = {
@@ -768,6 +809,7 @@ MISC_QUERY_FNS = {
     "doc_get": fx_get,
     "doc_multi_get": fx_multi_get,
     "percolate_stored": fx_percolate,
+    "percolate_keyword_negative": fx_percolate_scan,
     "search_template_match": fx_search_template,
     "streaming_ingest_search": fx_stream_ingest_search,
 }
@@ -792,6 +834,7 @@ MISC_ORACLE_SQL = {
     "doc_get": _get_oracle(_GET_IDS[:1]),
     "doc_multi_get": _get_oracle(_GET_IDS),
     "percolate_stored": _PERCOLATE_ORACLE,
+    "percolate_keyword_negative": _PERCOLATE_SCAN_ORACLE,
     "search_template_match": _template_oracle(),
     "streaming_ingest_search": _stream_oracle(),
 }

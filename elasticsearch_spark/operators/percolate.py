@@ -19,10 +19,15 @@ compounds via the SAME two-phase design ES uses (PercolateQuery's
 candidate-then-verify, QueryAnalyzer.java extraction): the term join
 produces candidates from the query's positive terms, then a residual verify
 pass re-evaluates the exact query (positions, must_not, msm) with the
-logical query compiler over ONLY the candidate docs. Keyword-field-only or
-pure-negative stored queries have no extractable terms and raise (ES marks
-those verified-by-MemoryIndex for every doc — a per-doc scan by design we
-refuse instead).
+logical query compiler over ONLY the candidate docs.
+
+Keyword-field-only, pure-negative, and range-only stored queries have no
+extractable terms; ES marks those matchAllDocs in QueryAnalyzer.java and
+verifies them per-doc via MemoryIndex. The analog here (round 5): such
+queries take the SCAN arm — candidate = every doc of the percolated batch,
+verified exactly by the logical compiler. Cost is bounded by the percolated
+batch size (the docs the caller hands in), never the corpus, matching ES's
+per-percolated-doc MemoryIndex cost model.
 """
 
 from __future__ import annotations
@@ -148,6 +153,7 @@ def percolate(
     prefix_rows = []
     pattern_rows = []
     residual_ids = []
+    scan_ids = []
     for qid in sorted(stored_queries):
         q = stored_queries[qid]
         (qk, qb), = q.items()
@@ -159,7 +165,8 @@ def percolate(
             # query side broadcast)
             (field, v), = qb.items()
             if field != text_col:
-                raise ValueError("percolate supports the analyzed `text` field")
+                scan_ids.append(qid)  # keyword-field pattern: scan arm
+                continue
             v = v["value"] if isinstance(v, dict) else v
             v = str(v).lower()
             if qk == "wildcard":
@@ -168,7 +175,15 @@ def percolate(
             else:
                 prefix_rows.append((qid, v))
             continue
-        terms, need, residual = _query_terms(q)
+        try:
+            terms, need, residual = _query_terms(q)
+        except ValueError:
+            # no extractable positive terms (keyword-only / pure-negative /
+            # range-only / msm<=0): QueryAnalyzer.java marks these
+            # matchAllDocs and ES verifies per-doc via MemoryIndex — here
+            # the scan arm verifies them exactly over the percolated batch
+            scan_ids.append(qid)
+            continue
         if not terms:
             continue  # zero-term query matches nothing (zero_terms NONE)
         if residual:
@@ -202,36 +217,41 @@ def percolate(
             .distinct()
         )
         cand = cand.unionByName(wcand)
-    if residual_ids:
-        # verify pass (PercolateQuery's verified matches): re-evaluate each
-        # residual query exactly, over ONLY its candidate docs (semi-join
-        # pruning — the verify subplan never scans the full doc stream).
+    from ..plans import query_dsl as Q
+
+    def tokenized_terms(q):
         # term/terms on the ANALYZED field rewrite to single-token matches
         # first: a term query against a text field matches the indexed
         # TOKENS (TermQueryBuilder over TextFieldMapper), which is the
         # percolator semantics the candidate join already implements —
         # query_dsl's term leaf would compare the whole raw value instead.
-        from ..plans import query_dsl as Q
-
-        def tokenized_terms(q):
-            if not (isinstance(q, dict) and len(q) == 1):
-                return q
-            (k, b), = q.items()
-            if k in ("term", "terms") and isinstance(b, dict) and len(b) == 1:
-                (f, v), = b.items()
-                if f == text_col:
-                    vals = list(v) if k == "terms" else [v["value"] if isinstance(v, dict) else v]
-                    return {"match": {f: " ".join(str(x).lower() for x in vals)}}
-            if k == "bool":
-                return {
-                    "bool": {
-                        cl: [tokenized_terms(s) for s in (items if isinstance(items, list) else [items])]
-                        for cl, items in b.items()
-                        if items is not None
-                    }
-                }
+        if not (isinstance(q, dict) and len(q) == 1):
             return q
+        (k, b), = q.items()
+        if k in ("term", "terms") and isinstance(b, dict) and len(b) == 1:
+            (f, v), = b.items()
+            if f == text_col:
+                vals = list(v) if k == "terms" else [v["value"] if isinstance(v, dict) else v]
+                return {"match": {f: " ".join(str(x).lower() for x in vals)}}
+        if k == "bool":
+            out = {}
+            for cl, items in b.items():
+                if items is None:
+                    continue
+                if cl in ("must", "filter", "should", "must_not"):
+                    out[cl] = [
+                        tokenized_terms(s)
+                        for s in (items if isinstance(items, list) else [items])
+                    ]
+                else:  # scalar options (minimum_should_match, boost, ...)
+                    out[cl] = items
+            return {"bool": out}
+        return q
 
+    if residual_ids:
+        # verify pass (PercolateQuery's verified matches): re-evaluate each
+        # residual query exactly, over ONLY its candidate docs (semi-join
+        # pruning — the verify subplan never scans the full doc stream).
         direct = cand.where(~F.col("query_id").isin(residual_ids))
         parts = [direct]
         for qid in residual_ids:
@@ -247,4 +267,13 @@ def percolate(
         cand = parts[0]
         for p in parts[1:]:
             cand = cand.unionByName(p)
+    for qid in scan_ids:
+        # scan arm: exact evaluation over the whole percolated batch (the
+        # MemoryIndex analog) — candidate pruning has nothing to offer these
+        hit = Q.compile_query(
+            tokenized_terms(stored_queries[qid]), docs, key_cols, text_col
+        )
+        cand = cand.unionByName(
+            hit.select(*key_cols).withColumn("query_id", F.lit(qid))
+        )
     return cand.orderBy(*key_cols, "query_id")

@@ -52,15 +52,30 @@ class TestPercolate:
         stored2 = {"q": {"terms": {"text": ["alpha", "zzz"]}}}
         assert P.percolate(docs, stored2).count() == 1
 
-    def test_unsupported_kind_raises(self, spark):
+    def test_unextractable_kinds_take_scan_arm(self, spark):
+        """Round 5: shapes with no extractable positive terms no longer
+        refuse — they route through the SCAN arm (exact evaluation over the
+        percolated batch; ES's matchAllDocs + MemoryIndex-verify analog)."""
         docs = spark.createDataFrame(
-            [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
+            [("c1", 0, "x y"), ("c2", 1, "z")],
+            "conv_id string, turn_idx int, text string",
         )
-        with pytest.raises(ValueError, match="cannot index"):
-            P.percolate(docs, {"q": {"fuzzy": {"text": "abx"}}})
-        # pure-negative bool: no extractable positive terms
-        with pytest.raises(ValueError, match="no extractable"):
-            P.percolate(docs, {"q": {"bool": {"must_not": [{"term": {"text": "x"}}]}}})
+        # pure-negative bool: matches docs WITHOUT the term
+        got = {
+            (r.conv_id, r.query_id)
+            for r in P.percolate(
+                docs, {"q": {"bool": {"must_not": [{"term": {"text": "x"}}]}}}
+            ).collect()
+        }
+        assert got == {("c2", "q")}
+        # keyword-only / range-only stored query
+        got2 = {
+            (r.conv_id, r.query_id)
+            for r in P.percolate(
+                docs, {"q": {"range": {"turn_idx": {"gte": 1}}}}
+            ).collect()
+        }
+        assert got2 == {("c2", "q")}
 
     def test_phrase_residual_verify(self, spark):
         docs = spark.createDataFrame(
@@ -96,11 +111,12 @@ class TestPercolate:
         got = {r.conv_id for r in P.percolate(docs, stored).collect()}
         assert got == {"c1"}
 
-    def test_bool_unextractable_required_raises(self, spark):
+    def test_bool_unextractable_required_takes_scan_arm(self, spark):
         # a bool whose only required clause cannot contribute pruning terms
-        # must REFUSE, not prune on optional should terms: a doc matching the
+        # must NOT prune on optional should terms: a doc matching the
         # required clause alone (should is optional when must is present)
-        # would otherwise be silently dropped
+        # would be silently dropped by term pruning. Round 5: the scan arm
+        # evaluates it exactly — the term-less doc below must still match.
         docs = spark.createDataFrame(
             [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
         )
@@ -110,14 +126,16 @@ class TestPercolate:
                 "should": [{"match": {"text": "alpha"}}],
             }
         }
-        with pytest.raises(ValueError, match="required"):
-            P.percolate(docs, {"q": q})
+        got = {(r.conv_id, r.turn_idx) for r in P.percolate(docs, {"q": q}).collect()}
+        assert got == {("c1", 0)}
 
-    def test_bool_pure_should_unextractable_child_raises(self, spark):
+    def test_bool_pure_should_unextractable_child_takes_scan_arm(self, spark):
         # pure-should bool: a doc can match through ANY should child, so one
-        # un-extractable child makes term pruning unsound — refuse
+        # un-extractable child makes term pruning unsound. Round 5: scan arm
+        # — the doc matching ONLY through the range child must be found.
         docs = spark.createDataFrame(
-            [("c1", 0, "x")], "conv_id string, turn_idx int, text string"
+            [("c1", 0, "x"), ("c2", 7, "y")],
+            "conv_id string, turn_idx int, text string",
         )
         q = {
             "bool": {
@@ -127,8 +145,8 @@ class TestPercolate:
                 ]
             }
         }
-        with pytest.raises(ValueError, match="cannot index"):
-            P.percolate(docs, {"q": q})
+        got = {(r.conv_id, r.turn_idx) for r in P.percolate(docs, {"q": q}).collect()}
+        assert got == {("c2", 7)}
 
     def test_bool_mixed_required_prunes_on_required_only(self, spark):
         # extractable must + range filter + optional should: candidates come

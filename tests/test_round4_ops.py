@@ -96,17 +96,31 @@ class TestAdviceFixes:
         got = percolate.percolate(transcripts.limit(50), {"q1": qd})
         assert got.count() == 0
 
-    def test_percolate_msm_zero_refuses(self, spark, transcripts):
+    def test_percolate_msm_zero_takes_exact_scan_arm(self, spark, transcripts):
+        """Round 5: msm<=0 no longer refuses — term pruning is still unsound
+        for it, so it routes through the SCAN arm and is evaluated exactly.
+        Lucene semantics: a should-only bool needs >=1 should match even
+        with minimumNumberShouldMatch=0 (BooleanWeight's no-required-clauses
+        rule), so the result equals the plain disjunction."""
         from elasticsearch_spark.operators import percolate
+        from elasticsearch_spark.plans import query_dsl as Q
 
+        batch = transcripts.where("turn_idx <= 1")
         qd = {
             "bool": {
                 "should": [{"match": {"text": "query"}}],
                 "minimum_should_match": 0,
             }
         }
-        with pytest.raises(ValueError, match="minimum_should_match"):
-            percolate.percolate(transcripts.limit(10), {"q1": qd}).collect()
+        got = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in percolate.percolate(batch, {"q1": qd}).collect()
+        )
+        want = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in Q.compile_query(qd, batch, ["conv_id", "turn_idx"]).collect()
+        )
+        assert got == want and len(got) > 0
 
     def test_script_score_benign_score_identifiers_accepted(self):
         # params.risk_score / doc['quality_score'] must not trip the _score
