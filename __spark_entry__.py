@@ -273,6 +273,26 @@ def _full_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["highlight_fragments_score"] = _highlight_fragments
 
+    def _highlight_token_fragments(spark, sf_dir):
+        # round 5: token-boundary fragmenter (SimpleFragmenter parity) under
+        # the gate with positional ordering and a small fragment_size so the
+        # boundary-extension path actually fires on most hits
+        from elasticsearch_spark.functions import analysis, highlight
+
+        qd = SEARCH_QUERIES["match_and_topk"]
+        terms = analysis.analyze(qd["match"]["text"]["query"])
+        docs = TR.transcripts_view(spark, sf_dir)
+        hits = Q.search(docs, qd, KEYS, k=DEFAULT_K)
+        return hits.join(docs.select(*KEYS, "text"), KEYS).select(
+            *KEYS, "score",
+            highlight.highlight_fragments_expr(
+                "text", terms, pre="[", post="]", fragment_size=48,
+                number_of_fragments=2, order=None, no_match_size=0,
+            ).alias("fragments"),
+        )
+
+    out["highlight_token_fragments"] = _highlight_token_fragments
+
     def _terminate_after(spark, sf_dir):
         from elasticsearch_spark.operators import cursor as C
 
@@ -359,6 +379,12 @@ def oracle_sql() -> dict[str, str]:
         hq, _an.analyze(hq["match"]["text"]), DEFAULT_K, pre="<b>",
         post="</b>", fragment_size=80, number_of_fragments=3, order="score",
         no_match_size=40,
+    )
+    tq = SEARCH_QUERIES["match_and_topk"]
+    out["highlight_token_fragments"] = oracle.highlight_fragments_search_sql(
+        tq, _an.analyze(tq["match"]["text"]["query"]), DEFAULT_K, pre="[",
+        post="]", fragment_size=48, number_of_fragments=2, order=None,
+        no_match_size=0,
     )
     out.update(miscset.MISC_ORACLE_SQL)
     out.update(handset.HAND_ORACLE_SQL)

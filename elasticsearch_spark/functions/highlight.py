@@ -19,6 +19,12 @@ def _pat(terms: list[str]) -> str:
     return r"\b(" + "|".join(sorted(terms)) + r")\b"
 
 
+# token class of the standard analyzer (analysis.TOKEN_REGEX_*), anchored:
+# the word-run in progress at a nominal fragment boundary
+_WORD_RUN_JAVA = r"^[\p{L}\p{N}]+"
+_WORD_RUN_RE2 = r"^[\pL\pN]+"
+
+
 def highlight_expr(text: Column | str, terms: list[str], pre: str = PRE, post: str = POST) -> Column:
     """Wrap every occurrence of any query term (case-insensitive, whole word)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -65,12 +71,14 @@ def highlight_fragments_expr(
     post_tags / fragment_size / number_of_fragments / order:"score" /
     no_match_size — search/fetch/subphase/highlight/HighlightBuilder.java).
 
-    Fragmenter model (documented simplification of Lucene's SimpleFragmenter,
-    which breaks at token boundaries): the ORIGINAL text is chopped into
-    consecutive `fragment_size`-char windows; each window is tagged
-    independently (a term spanning a boundary matches in neither half — same
-    on both engines), windows with >= 1 hit are kept, ordered by position or
-    by hit count (order="score", ties by position), capped at
+    Fragmenter model (SimpleFragmenter semantics — Lucene breaks fragments
+    BETWEEN tokens, never inside one): nominal `fragment_size`-char window
+    boundaries are extended forward past any word in progress, so every
+    window starts and ends at a token boundary and a tag can never split a
+    term. fragment_size is thus a minimum, like SimpleFragmenter's, with
+    the final token carried whole into the earlier fragment. Windows are
+    tagged independently, windows with >= 1 hit are kept, ordered by
+    position or by hit count (order="score", ties by position), capped at
     `number_of_fragments`, and joined with `sep` into one string column (ES
     returns a fragment array; the driver compare needs a scalar). With no
     hits, no_match_size > 0 yields the leading `no_match_size` chars.
@@ -83,8 +91,19 @@ def highlight_fragments_expr(
     nw = F.greatest(F.ceil(F.length(c) / F.lit(fs)).cast("int"), F.lit(1))
     idxs = F.sequence(F.lit(0), nw - 1)
 
+    def bound(i):
+        # boundary i = i*fs extended past the word (letter/number run, the
+        # analyzer's token class) in progress at that offset; boundary 0 is
+        # the text start. Monotone: a run crossing a whole window collapses
+        # that window to empty, which the hit filter then drops.
+        run = F.length(
+            F.regexp_extract(c.substr(i * fs + 1, F.length(c)), _WORD_RUN_JAVA, 0)
+        )
+        return F.when(i == F.lit(0), F.lit(0)).otherwise(i * fs + run)
+
     def frag(i):
-        raw = c.substr(i * fs + 1, F.lit(fs))
+        b0, b1 = bound(i), bound(i + 1)
+        raw = c.substr(b0 + 1, b1 - b0)
         tagged = F.regexp_replace(raw, "(?i)" + _pat(terms), pre + "$1" + post)
         hits = (F.length(tagged) - F.length(raw)) / F.lit(taglen)
         return F.struct(
@@ -117,7 +136,16 @@ def highlight_fragments_sql(
     """DuckDB twin of highlight_fragments_expr (oracle)."""
     fs = int(fragment_size)
     taglen = len(pre) + len(post)
-    raw = f"substr({text_expr}, i * {fs} + 1, {fs})"
+
+    def bound(iexpr: str) -> str:
+        run = (
+            f"len(regexp_extract(substr({text_expr}, ({iexpr}) * {fs} + 1), "
+            f"'{_WORD_RUN_RE2}', 0))"
+        )
+        return f"(CASE WHEN ({iexpr}) = 0 THEN 0 ELSE ({iexpr}) * {fs} + {run} END)"
+
+    b0, b1 = bound("i"), bound("i + 1")
+    raw = f"substr({text_expr}, {b0} + 1, {b1} - {b0})"
     tagged = f"regexp_replace({raw}, '{_pat(terms)}', '{pre}\\1{post}', 'gi')"
     structs = (
         f"list_transform(range(0, greatest(cast(ceil(len({text_expr}) / {fs}.0) "

@@ -210,6 +210,56 @@ class TestStemmerOverrideKeywordProtection:
                     .collect()[0].t) == want
 
 
+class TestTokenBoundaryFragmenter:
+    """SimpleFragmenter parity (round 5): fragment windows break at token
+    boundaries, so a tag can never split a term and no term occurrence is
+    lost to a window edge — the failure mode of fixed-char windows."""
+
+    def test_no_occurrence_lost_at_boundaries(self, spark):
+        import re
+
+        from elasticsearch_spark.functions import highlight as H
+
+        # terms positioned to straddle every nominal 16-char boundary
+        texts = [
+            "abcdefghijk spark lmnopqr spark st spark uv",
+            "spark" * 1 + " " + "x" * 40 + " spark",
+            "a spark b spark c spark d spark e spark f",
+            "xxxxxxxxxxxxxxxspark yyyyyyyyyyyyyyyspark",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        out = df.select(
+            "text",
+            H.highlight_fragments_expr(
+                "text", ["spark"], pre="<b>", post="</b>", fragment_size=16,
+                number_of_fragments=100,
+            ).alias("f"),
+        ).collect()
+        for r in out:
+            want = len(re.findall(r"\bspark\b", r.text))
+            got = r.f.count("<b>spark</b>")
+            assert got == want, (r.text, r.f)
+            # and no partial tag ever appears
+            assert r.f.count("<b>") == r.f.count("</b>") == got
+
+    def test_windows_break_outside_words(self, spark):
+        from elasticsearch_spark.functions import highlight as H
+        from pyspark.sql import functions as F
+
+        text = "alpha bravo charlie spark delta echo foxtrot spark golf"
+        df = spark.createDataFrame([(text,)], "text string")
+        frags = df.select(
+            H.highlight_fragments_expr(
+                "text", ["spark"], pre="[", post="]", fragment_size=12,
+                number_of_fragments=100, sep="|",
+            ).alias("f")
+        ).collect()[0].f
+        for frag in frags.split("|"):
+            # every fragment is a sequence of whole tokens of the original
+            for tok in frag.replace("[", "").replace("]", "").split():
+                assert tok in text.split(), (tok, frag)
+
+
 class TestKeywordDfFromDictionary:
     """VERDICT r4 'what's wrong' #2: scoring-context keyword df must come
     from the keyword subfield's term dictionary (point lookup), never an
