@@ -105,6 +105,7 @@ R5_WINDOW = [
     # proximity freq through the BM25 similarity (SpanScorer/Similarity)
     "search_span_near_bm25", "indexed_span_near_bm25",
     "search_phrase_prefix_blended", "indexed_phrase_prefix_blended",
+    "hand_phrase_prefix",
     # -- (c) regression rotation: high-traffic shapes from rounds 1-2
     "search_match_or_topk", "indexed_match_or_topk",
     "search_match_and_topk", "indexed_match_and_topk",

@@ -22,7 +22,9 @@ hand with different algebra and query structure:
     pairs with its closest preceding lead occurrence; same-start pairs keep
     the smallest end) — the engine and the generated oracle both work
     per-START with greedy chains; the two minimal-interval constructions
-    provably coincide, so agreement pins the sloppyFreq summation.
+    provably coincide, so agreement pins the sloppyFreq summation. The freq
+    then goes through the hand-written BM25 (SpanWeight feeds sloppyFreq to
+    SimScorer.score; weight = sum of concrete-term idfs).
 Only the data derivation (transcripts view) and the analyzer's token regex
 are shared — they define the input contract, not the scoring semantics.
 """
@@ -74,6 +76,11 @@ HAND_QUERIES: dict[str, dict] = {
             ],
             "slop": 3,
             "in_order": True,
+        }
+    },
+    "hand_phrase_prefix": {
+        "match_phrase_prefix": {
+            "text": {"query": "the s", "max_expansions": 3}
         }
     },
 }
@@ -187,7 +194,10 @@ def _span_near_pair_sql(t1: str, t2: str, slop: int) -> str:
     # occurrence q pairs with the CLOSEST preceding t1 occurrence p; among
     # pairs sharing a start keep the smallest end (minimal-interval set —
     # provably the same set as the per-start form); drop pairs wider than
-    # slop AFTER minimization; score = sum of 1/(1 + (q - p - 1)) = 1/(q-p)
+    # slop AFTER minimization; freq = sum of 1/(1 + (q - p - 1)) = 1/(q-p),
+    # then fed through the hand-derived BM25 like SpanWeight feeds its
+    # sloppyFreq through SimScorer.score(freq, norm), with the span weight
+    # being the sum of the two concrete terms' idfs
     pairs = (
         f"list_filter(list_transform(p2, q -> "
         f"{{'p': list_max(list_filter(p1, p -> p < q)), 'q': q}}), "
@@ -197,26 +207,67 @@ def _span_near_pair_sql(t1: str, t2: str, slop: int) -> str:
 tok AS (SELECT conv_id, turn_idx,
                regexp_extract_all(lower(text), '{_RX}') AS toks
         FROM transcripts),
-ps AS (SELECT conv_id, turn_idx,
+ps AS (SELECT conv_id, turn_idx, len(toks) AS dl,
               list_transform(list_filter(range(1, len(toks) + 1),
                              i -> toks[i] = '{t1}'), i -> i - 1) AS p1,
               list_transform(list_filter(range(1, len(toks) + 1),
                              i -> toks[i] = '{t2}'), i -> i - 1) AS p2
        FROM tok),
-pv AS (SELECT conv_id, turn_idx, {pairs} AS pairs FROM ps),
-kept AS (SELECT conv_id, turn_idx,
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN len(p1) > 0 THEN 1 END) AS df1,
+             count(CASE WHEN len(p2) > 0 THEN 1 END) AS df2
+      FROM ps),
+pv AS (SELECT conv_id, turn_idx, dl, {pairs} AS pairs FROM ps),
+kept AS (SELECT conv_id, turn_idx, dl,
                 list_filter(
                   list_filter(pairs, x -> len(list_filter(pairs, y ->
                     struct_extract(y, 'p') = struct_extract(x, 'p') AND
                     struct_extract(y, 'q') < struct_extract(x, 'q'))) = 0),
                   x -> struct_extract(x, 'q') - struct_extract(x, 'p') - 1
                        <= {slop}) AS kp
-         FROM pv)
+         FROM pv),
+fr AS (SELECT conv_id, turn_idx, dl,
+              list_sum(list_transform(kp, x ->
+                1.0 / (struct_extract(x, 'q') - struct_extract(x, 'p')))) AS freq
+       FROM kept WHERE len(kp) > 0)
 SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
   SELECT conv_id, turn_idx,
-         list_sum(list_transform(kp, x ->
-           1.0 / (struct_extract(x, 'q') - struct_extract(x, 'p')))) AS score
-  FROM kept WHERE len(kp) > 0)
+         {_bm25('freq', _idf('df1') + ' + ' + _idf('df2'))} AS score
+  FROM fr, g)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+def _phrase_prefix_sql(lead: str, pref: str, max_exp: int) -> str:
+    # match_phrase_prefix with a BINDING expansion cap, derived by hand with
+    # different algebra than the generated oracle: the expansion set is the
+    # first max_exp elements of the SORTED distinct-token list (list_sort +
+    # array slice, vs the generator's ORDER BY term LIMIT), pf counts
+    # lead-then-expansion adjacencies by flat list_filter over 1-based
+    # indices, and the blended weight sums hand idfs over {lead} UNION exps
+    # via a list_aggregate over per-term dfs.
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+voc AS (SELECT list_sort(list(DISTINCT term)) AS vocab FROM (
+          SELECT unnest(toks) AS term FROM tok)
+        WHERE starts_with(term, '{pref}')),
+exp AS (SELECT vocab[1:{max_exp}] AS exps FROM voc),
+pf AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = '{lead}'
+                       AND list_contains(exps, toks[i + 1]))) AS pfreq
+       FROM tok CROSS JOIN exp),
+wt AS (SELECT list_distinct(list_append(exps, '{lead}')) AS wterms FROM exp),
+g AS (SELECT count(*) AS n, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok),
+idf AS (SELECT sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))) AS w FROM (
+          SELECT unnest(wterms) AS term FROM wt) wts, g,
+        LATERAL (SELECT count(*) AS df FROM tok
+                 WHERE list_contains(toks, wts.term)) d
+        WHERE df > 0)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx, {_bm25('pfreq', 'w')} AS score
+  FROM pf, g, idf WHERE pfreq > 0)
 ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
 
 
@@ -227,6 +278,7 @@ HAND_ORACLE_SQL = {
     "hand_dis_max": _dis_max_sql("spark", "fast", 0.3),
     "hand_match_msm": _match_msm_sql("spark", "join", "fast", 2),
     "hand_span_near": _span_near_pair_sql("hash", "join", 3),
+    "hand_phrase_prefix": _phrase_prefix_sql("the", "s", 3),
 }
 
 

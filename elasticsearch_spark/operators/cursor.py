@@ -318,7 +318,14 @@ def script_sort(
     full = matched.join(docs, key_cols).select(
         *key_cols, expr.alias("sort_value")
     )
-    ov = F.col("sort_value").asc() if order == "asc" else F.col("sort_value").desc()
+    # explicit null placement (Spark asc defaults NULLS FIRST, DuckDB NULLS
+    # LAST — pin LAST on both so a script that evaluates to NULL on some
+    # rows cannot diverge engine-vs-oracle)
+    ov = (
+        F.col("sort_value").asc_nulls_last()
+        if order == "asc"
+        else F.col("sort_value").desc_nulls_last()
+    )
     return full.orderBy(ov, *[F.col(c).asc() for c in key_cols]).limit(size)
 
 

@@ -127,14 +127,20 @@ class IntervalsLeaf:
     merged-occurrence-stream minimal-covering-window scan (any arity),
     non-plain pairs (prefix-expanded / masked / duplicate-term steps, where
     the two occurrence sets may OVERLAP) via per-end minimal windows.
-    Scoring is Lucene's interval freq on EVERY shape: the sum of
+    Scoring (round 5, Lucene-faithful): interval freq = the sum of
     1/(1 + slop) over the MINIMAL interval set (interval minimization — no
-    kept interval contains another; SpanScorer/IntervalQuery sloppyFreq
-    summation). Single-term shapes (span_term/span_first/span_not)
-    contribute 1 per surviving occurrence (width-0 intervals). Remaining
-    divergence: the freq is exposed directly rather than fed through the
-    field similarity, so proximity ordering and freq accumulation match
-    Lucene but absolute calibration differs.
+    kept interval contains another; IntervalQuery-style minimal-interval
+    summation, a documented divergence from SpanScorer's per-start stream,
+    which emits one span per lead occurrence without containment
+    minimization — 'a a b' scores 1.5 there vs 1.0 here; all three twins
+    agree). Single-term shapes (span_term/span_first/span_not) contribute 1
+    per surviving occurrence (width-0 intervals). The freq is then fed
+    through the field similarity exactly as SpanWeight does
+    (Similarity.SimScorer.score(freq, norm)): score = weight * (k1+1) *
+    freq / (freq + k1*(1-b+b*dl_q/avgdl)), weight = idf summed over the
+    query's distinct concrete terms (SpanWeight.buildSimWeight over
+    getTermStates; tuple/expansion steps contribute no idf, and span_not
+    exclusions never boost the weight — both documented).
     first_end (span_first, SpanFirstQueryBuilder reg :803): single-term
     occurrence must sit at position < first_end. not_terms (span_not,
     SpanNotQueryBuilder reg :806): single-term occurrence must not share a
@@ -164,9 +170,24 @@ class IntervalsLeaf:
     # gaps[i] positions must sit strictly between step i and step i+1; gap
     # widths consume window, not slop. Ordered chains only.
     gaps: list[int] | None = None
+    # idf sum over the query's distinct concrete terms (SpanWeight's
+    # simWeight), bound at stats time like PhraseLeaf.weight
+    weight: float = 0.0
 
     def step_field(self, i: int) -> str:
         return self.term_fields[i] if self.term_fields else self.field
+
+    def weight_fts(self) -> set:
+        """(field, term) pairs contributing idf to the SpanWeight: distinct
+        concrete step terms on their source fields + within-chain terms;
+        tuple (expansion) steps and span_not exclusions contribute none."""
+        fts = {
+            (self.step_field(i), t)
+            for i, t in enumerate(self.terms)
+            if not isinstance(t, tuple)
+        }
+        fts |= {(self.field, t) for t in (self.within_terms or [])}
+        return fts
 
 
 @dataclass
@@ -1143,16 +1164,34 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
             if isinstance(node, IntervalsLeaf):
                 # every interval step must sit in the doc => in the doc's
                 # block; a tuple step (span_multi expansion) needs ANY member
-                # (within-chain terms are required too; not_terms are not)
+                # (within-chain terms are required too; not_terms are not).
+                # Freq bound: every minimal interval consumes at least one
+                # occurrence of some involved term, so pf <= sum of block-max
+                # tfs; the BM25 wrap is monotone in freq, so plugging the
+                # over-estimate in gives a sound block upper bound (the old
+                # raw-freq scoring had no finite bound — constant 1.0 was an
+                # under-estimate whenever pf > 1).
+                tot = 0.0
+                mindlq = np.inf
                 for i, st in enumerate(node.terms):
                     opts = st if isinstance(st, tuple) else (st,)
                     fld = node.step_field(i)
-                    if not any((fld, t) in pres for t in opts):
+                    hit = [pres[(fld, t)] for t in opts if (fld, t) in pres]
+                    if not hit:
                         return False, 0.0
+                    tot += sum(h[1] for h in hit)
+                    mindlq = min(mindlq, min(h[2] for h in hit))
                 for t in node.within_terms or []:
-                    if (node.field, t) not in pres:
+                    h = pres.get((node.field, t))
+                    if h is None:
                         return False, 0.0
-                return True, 1.0
+                    tot += h[1]
+                    mindlq = min(mindlq, h[2])
+                ad = avgdl.get(node.field, 1.0)
+                ub = node.weight * kp1 * tot / (
+                    tot + k1 * (1.0 - b + b * mindlq / ad)
+                )
+                return True, float(ub)
             if isinstance(node, ChannelLeaf):
                 if node.const is not None:
                     return True, node.const
@@ -1336,19 +1375,47 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                 if m_ == 0 or any(kk is None or not len(kk) for kk in ks):
                     return np.zeros(n, dtype=bool), np.zeros(n)
                 def _sumfreq_scores(occ, slops):
-                    # per-doc score = sum of 1/(1 + slop) over the MINIMAL
-                    # intervals (Lucene sloppyFreq summation — callers pass
-                    # one row per minimal interval)
+                    # per-doc freq = sum of 1/(1 + slop) over the MINIMAL
+                    # intervals (callers pass one row per minimal interval),
+                    # then fed through the field similarity exactly as
+                    # SpanWeight does: SimScorer.score(freq, norm)
                     hd = occ >> _POS_SHIFT
                     hit, inv = np.unique(hd, return_inverse=True)
                     pf = np.bincount(
                         inv, weights=1.0 / (1.0 + slops.astype(np.float64))
                     )
+                    # dl_q per hit doc from any involved term's postings
+                    # (norms of the query's field; masked steps fall back to
+                    # their own field's dl — FieldMaskingSpanQuery's
+                    # documented cross-field norms caveat)
+                    dlq = np.full(len(hit), np.nan)
+                    cand_fts = sorted(node.weight_fts()) + [
+                        (node.step_field(i), t)
+                        for i, st in enumerate(node.terms)
+                        if isinstance(st, tuple)
+                        for t in st
+                    ]
+                    for ft in cand_fts:
+                        if not np.isnan(dlq).any():
+                            break
+                        e = env.get(ft)
+                        if e is None or not len(e[0]):
+                            continue
+                        pos = np.searchsorted(e[0], hit)
+                        ok = (pos < len(e[0])) & (
+                            e[0][np.minimum(pos, len(e[0]) - 1)] == hit
+                        )
+                        todo = ok & np.isnan(dlq)
+                        dlq[todo] = e[2][np.minimum(pos, len(e[0]) - 1)][todo]
+                    ad = avgdl.get(node.field, 1.0)
+                    dlq = np.where(np.isnan(dlq), ad, dlq)
+                    norm = k1 * (1.0 - b + b * dlq / ad)
+                    sc = node.weight * kp1 * pf / (pf + norm)
                     match = np.zeros(n, dtype=bool)
                     score = np.zeros(n)
                     ii = np.searchsorted(docs_u, hit)
                     match[ii] = True
-                    score[ii] = pf
+                    score[ii] = sc
                     return match, score
 
                 if node.within_terms is not None:
@@ -2076,16 +2143,29 @@ def search_indexed(
             node.const_score = weights.get((node.field, node.terms[0]), 0.0)
         if isinstance(node, PhraseLeaf):
             if node.prefix_expansions is not None:
-                # match_phrase_prefix: idf over complete leading terms only
-                # (documented divergence, plans/query_dsl._match_phrase_prefix)
-                lead = sorted(set(node.terms))
+                # match_phrase_prefix: MultiPhrasePrefixQuery rewrites to a
+                # MultiPhraseQuery whose weight blends idf over the complete
+                # leading terms AND every dictionary expansion of the
+                # trailing prefix (Lucene sums idf over the query's distinct
+                # terms; expansions come from the same stats job via
+                # ft_pairs). Expansion-less prefixes keep weight 1.0 — they
+                # match nothing anyway.
+                fts = sorted(set(node.terms) | set(node.prefix_expansions))
                 node.weight = (
-                    sum(weights.get((node.field, t), 0.0) for t in lead) if lead else 1.0
+                    sum(weights.get((node.field, t), 0.0) for t in fts)
+                    if fts else 1.0
                 )
             else:
                 node.weight = sum(
                     weights.get((node.field, t), 0.0) for t in sorted(set(node.terms))
                 )
+        if isinstance(node, IntervalsLeaf):
+            # SpanWeight.buildSimWeight: idf over getTermStates' distinct
+            # terms (same dictionary stats job); expansion-only chains fall
+            # back to 1.0 like an empty-lead match_phrase_prefix
+            fts = sorted(node.weight_fts())
+            found = [weights[ft] for ft in fts if ft in weights]
+            node.weight = sum(found) if found else 1.0
         for c in _tree_children(node):
             bind_weights(c)
 

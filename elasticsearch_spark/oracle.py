@@ -125,43 +125,51 @@ def _match_phrase_scored_sql(field: str, spec, alias: str) -> tuple[str, str]:
 
 def _match_phrase_prefix_sql(field: str, spec, alias: str) -> tuple[str, str]:
     """Twin of plans/query_dsl._match_phrase_prefix: phrase of leading terms,
-    trailing term as a position-anchored prefix; idf over leading terms only
-    (documented divergence from ES expansion-blended idf)."""
+    trailing term matched against the dictionary expansion set (term order,
+    capped at max_expansions=50); idf blended over the DISTINCT union of
+    leading terms and expansions (MultiPhrasePrefixQuery -> MultiPhraseQuery
+    rewrite semantics)."""
     if isinstance(spec, str):
         spec = {"query": spec}
     qterms = analyze(spec["query"])
     lead, pref = qterms[:-1], qterms[-1]
+    max_exp = int(spec.get("max_expansions", 50))
     m = len(qterms)
     t = _toks(field)
     conds = [f"toks[p + {i}] = {_sql_str(term)}" for i, term in enumerate(lead)]
-    conds.append(f"starts_with(toks[p + {m - 1}], {_sql_str(pref)})")
+    conds.append(f"list_contains(exps, toks[p + {m - 1}])")
     cond = " AND ".join(conds)
     dl_q = scoring.quantized_dl_sql("dl", "duckdb")
     idf = scoring.idf_sql("n_docs", "df")
-    if lead:
-        terms_in = ", ".join(_sql_str(x) for x in sorted(set(lead)))
-        idf_cte = f"""
-{alias}_idf AS (
-  SELECT sum({idf}) AS idf_sum FROM (
-    SELECT term, count(*) AS df FROM (
-      SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM {alias}_docs
-    ) WHERE term IN ({terms_in}) GROUP BY term
-  ) CROSS JOIN {alias}_stats
-)"""
-    else:
-        idf_cte = f"\n{alias}_idf AS (SELECT 1.0 AS idf_sum)"
+    lead_in = ", ".join(_sql_str(x) for x in sorted(set(lead))) or "NULL"
     ctes = f"""
 {alias}_docs AS (
   SELECT conv_id, turn_idx, {t} AS toks, len({t}) AS dl FROM transcripts
 ),
+{alias}_exp AS (
+  SELECT term FROM (
+    SELECT DISTINCT unnest(toks) AS term FROM {alias}_docs
+  ) WHERE starts_with(term, {_sql_str(pref)}) ORDER BY term LIMIT {max_exp}
+),
+{alias}_expl AS (
+  SELECT coalesce(list(term ORDER BY term), []) AS exps FROM {alias}_exp
+),
 {alias}_pf AS (
   SELECT conv_id, turn_idx, dl,
     len(list_filter(generate_series(1, greatest(len(toks) - {m - 1}, 0)), p -> {cond})) AS pf
-  FROM {alias}_docs
+  FROM {alias}_docs CROSS JOIN {alias}_expl
 ),
 {alias}_stats AS (
   SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM {alias}_docs
-),{idf_cte},
+),
+{alias}_idf AS (
+  SELECT coalesce(sum({idf}), 1.0) AS idf_sum FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM {alias}_docs
+    ) WHERE term IN ({lead_in}) OR term IN (SELECT term FROM {alias}_exp)
+    GROUP BY term
+  ) CROSS JOIN {alias}_stats
+),
 {alias} AS (
   SELECT conv_id, turn_idx,
     idf_sum * {K1 + 1.0} * pf / (pf + ({K1} * (1.0 - {B} + {B} * cast({dl_q} as double) / avgdl))) AS score
@@ -214,11 +222,60 @@ def _terms_set_sql(field: str, spec: dict, alias: str) -> tuple[str, str]:
 
 
 def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
-    """Twin of plans/query_dsl._intervals (match source). Scoring is the
-    interval freq: sum of 1/(1 + slop) over the MINIMAL interval set
-    (Lucene sloppyFreq summation); single-term shapes score the surviving
-    occurrence count. Exceptions (twin of the engine): non-plain unordered
-    pairs score the best window 1/(1 + min slop); within/containing 1.0."""
+    """Twin of plans/query_dsl._intervals: the freq CTE from
+    _intervals_freq_sql wrapped through the field similarity exactly as
+    SpanWeight does — score = w * (k1+1) * freq / (freq + k1*(1-b+b*
+    dl_q/avgdl)), w = idf summed over the distinct concrete terms (+
+    within-chain terms; expansion steps and span_not exclusions contribute
+    none, all-absent/expansion-only chains fall back to w=1.0)."""
+    from .functions import scoring
+    from .functions.analysis import analyze
+
+    cf, af = _intervals_freq_sql(body, f"{a}f")
+    (field, spec), = body.items()
+    src = spec["match"]
+    qterms = src.get("steps") or analyze(src["query"])
+    sfields = src.get("fields") or [field] * len(qterms)
+    pairs = {
+        (sfields[i], t) for i, t in enumerate(qterms) if not isinstance(t, dict)
+    }
+    if src.get("within_query"):
+        pairs |= {(field, t) for t in analyze(src["within_query"])}
+    n_sq = "(SELECT count(*) FROM transcripts)"
+    idf_parts = []
+    for fld, t in sorted(pairs):
+        dfq = (
+            f"(SELECT count(*) FROM transcripts WHERE "
+            f"list_contains(list_distinct({_toks(fld)}), {_sql_str(t)}))"
+        )
+        # absent terms contribute nothing (kernel binds dictionary-present
+        # idfs only); a required absent term means zero matching docs anyway
+        idf_parts.append(
+            f"(CASE WHEN {dfq} > 0 THEN "
+            f"ln(1.0 + ({n_sq} - {dfq} + 0.5) / ({dfq} + 0.5)) ELSE 0.0 END)"
+        )
+    w = "(" + " + ".join(idf_parts) + ")" if idf_parts else "1.0"
+    dl = f"len({_toks(field)})"
+    dl_q = scoring.quantized_dl_sql(dl, "duckdb")
+    avg = f"(SELECT avg(len({_toks(field)})) FROM transcripts)"
+    norm = (
+        f"({scoring.K1} * (1.0 - {scoring.B} + {scoring.B} * "
+        f"cast({dl_q} as double) / {avg}))"
+    )
+    c = f"""{cf},
+{a} AS (
+  SELECT f.conv_id, f.turn_idx,
+         {w} * {scoring.K1 + 1.0} * f.score / (f.score + {norm}) AS score
+  FROM {af} f JOIN transcripts USING (conv_id, turn_idx)
+)"""
+    return c, a
+
+
+def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
+    """Twin of plans/query_dsl._intervals (match source), freq stage.
+    Scoring is the interval freq: sum of 1/(1 + slop) over the MINIMAL
+    interval set (minimal-interval summation); single-term shapes score the
+    surviving occurrence count."""
     from .functions.analysis import analyze
 
     (field, spec), = body.items()
@@ -1030,7 +1087,7 @@ def script_sort_sql(query: dict, script, order: str = "asc", size: int = 10) -> 
     return f"""{TRANSCRIPTS_CTE},{ctes}
 SELECT conv_id, turn_idx, {script_sql(script)} AS sort_value
 FROM {a} JOIN transcripts t USING (conv_id, turn_idx)
-ORDER BY sort_value {order.upper()}, conv_id, turn_idx LIMIT {size}"""
+ORDER BY sort_value {order.upper()} NULLS LAST, conv_id, turn_idx LIMIT {size}"""
 
 
 def explain_match_sql(query_text: str, k: int = 10) -> str:

@@ -786,19 +786,22 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     matches when the analyzed terms occur within an interval of width
     max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
 
-    Scoring is Lucene's interval freq on every shape: the sum of
-    1/(1 + slop) over the MINIMAL interval set (interval minimization — no
-    kept interval contains another; SpanScorer/IntervalQuery sloppyFreq
-    summation). Single-term shapes contribute 1 per surviving occurrence
-    (width-0 intervals); within/containing score their respective span
-    streams (within_mode). Remaining divergence: the freq is exposed
-    directly rather than fed through the field similarity, so proximity
-    ordering and freq accumulation match Lucene but absolute calibration
-    differs. Ordered matching supports any arity via greedy minimal
-    chains; unordered shapes use the merged-stream minimal-covering-window
-    form (plain distinct single-field terms, any arity) or the per-end
-    minimal-window form (non-plain pairs, whose occurrence sets may
-    overlap).
+    Scoring: interval freq = the sum of 1/(1 + slop) over the MINIMAL
+    interval set (interval minimization — no kept interval contains
+    another; IntervalQuery-style minimal-interval summation, a documented
+    divergence from SpanScorer's per-start stream, which emits one span per
+    lead occurrence without containment minimization — 'a a b' scores 1.5
+    there vs 1.0 here; all three twins agree). Single-term shapes
+    contribute 1 per surviving occurrence (width-0 intervals);
+    within/containing score their respective span streams (within_mode).
+    The freq is then fed through the field similarity exactly as SpanWeight
+    does (SimScorer.score(freq, norm), _bm25_wrap below; weight = idf over
+    the query's distinct concrete terms — tuple expansion steps and
+    span_not exclusions contribute none). Ordered matching supports any
+    arity via greedy minimal chains; unordered shapes use the merged-stream
+    minimal-covering-window form (plain distinct single-field terms, any
+    arity) or the per-end minimal-window form (non-plain pairs, whose
+    occurrence sets may overlap).
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -841,6 +844,63 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         raise ValueError("intervals `gaps` must have one entry per adjacency")
     if gap_total and (not ordered or src.get("within_query") or first_end is not None):
         raise ValueError("gaps (span_gap) need a plain ordered chain")
+
+    # round 5: proximity freq feeds the field similarity exactly as
+    # SpanWeight does (SimScorer.score(freq, norm)) — weight = idf summed
+    # over the query's distinct concrete terms (+ within-chain terms; tuple
+    # expansion steps and span_not exclusions contribute none), norm from
+    # the OUTER field's quantized dl. Twin of the kernel's _sumfreq_scores
+    # wrap and the oracle's _intervals_sql wrapper CTE.
+    wterms_all = (
+        analysis.analyze(src["within_query"]) if src.get("within_query") else []
+    )
+
+    def _bm25_wrap(freq_scored: DataFrame) -> Compiled:
+        flds: dict[str, set] = {}
+        for i_, t_ in enumerate(qterms):
+            if not isinstance(t_, dict):
+                flds.setdefault(sfields[i_], set()).add(t_)
+        for t_ in wterms_all:
+            flds.setdefault(field, set()).add(t_)
+        stats0 = M.corpus_stats(
+            ctx.docs, ctx.key_cols, sorted(flds.get(field, set())), field
+        )
+        idf_parts = []
+        for fld_, ts_ in sorted(flds.items()):
+            st = (
+                stats0 if fld_ == field
+                else M.corpus_stats(ctx.docs, ctx.key_cols, sorted(ts_), fld_)
+            )
+            idf_parts.append(
+                st.term_df.crossJoin(F.broadcast(st.n_and_avgdl)).select(
+                    F.expr(scoring.idf_sql("n_docs", "df")).alias("idf")
+                )
+            )
+        if idf_parts:
+            u = idf_parts[0]
+            for p_ in idf_parts[1:]:
+                u = u.unionByName(p_)
+            # terms absent from the corpus contribute nothing (the kernel
+            # binds only dictionary-present idfs); all-absent -> 1.0, the
+            # expansion-only-chain convention
+            wdf = u.agg(F.coalesce(F.sum("idf"), F.lit(1.0)).alias("w"))
+        else:
+            wdf = ctx.docs.sparkSession.range(1).select(F.lit(1.0).alias("w"))
+        wdf = wdf.crossJoin(F.broadcast(stats0.n_and_avgdl.select("avgdl")))
+        dl_df = ctx.docs.select(
+            *ctx.key_cols, F.size(analysis.tokens(field)).alias("dl")
+        )
+        j = freq_scored.join(dl_df, ctx.key_cols).crossJoin(F.broadcast(wdf))
+        dl_q = F.expr(scoring.quantized_dl_sql("dl", "spark"))
+        norm = F.lit(scoring.K1) * (
+            F.lit(1.0 - scoring.B)
+            + F.lit(scoring.B) * dl_q.cast("double") / F.col("avgdl")
+        )
+        bm = (
+            F.col("w") * F.lit(scoring.K1 + 1.0) * F.col("score")
+            / (F.col("score") + norm)
+        )
+        return Compiled(scored=j.select(*ctx.key_cols, bm.alias("score")))
     tok_col = {f: ("toks" if f == field else f"toks_{i}")
                for i, f in enumerate(dict.fromkeys([field, *sfields]))}
     toks = cand.select(
@@ -911,7 +971,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                     *ctx.key_cols, F.col("_pf").cast("double").alias("score")
                 )
             )
-            return Compiled(scored=scored)
+            return _bm25_wrap(scored)
         if len(wterms) == 1:
             # big spans are width-0 single occurrences: containing a little
             # iff they share its position; each contributes 1
@@ -924,7 +984,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                     *ctx.key_cols, F.col("_pf").cast("double").alias("score")
                 )
             )
-            return Compiled(scored=scored)
+            return _bm25_wrap(scored)
         pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
 
         def big_pair(pb):
@@ -960,7 +1020,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             base.select(*ctx.key_cols, pf.alias("score"))
             .where(F.col("score") > 0)
         )
-        return Compiled(scored=scored)
+        return _bm25_wrap(scored)
 
     if m == 1:
         # each surviving occurrence is a width-0 minimal interval: score =
@@ -977,7 +1037,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             .where(F.col("_pf") > 0)
             .select(*ctx.key_cols, F.col("_pf").cast("double").alias("score"))
         )
-        return Compiled(scored=scored)
+        return _bm25_wrap(scored)
     elif ordered:
         # greedy minimal chain per start p0 (the smallest valid successor at
         # each step minimizes the final width, so the greedy end is the
@@ -1033,7 +1093,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             lambda acc, x: acc + F.lit(1.0) / (F.lit(1.0) + x["s"]),
         )
         scored = base.select(*ctx.key_cols, pf.alias("score"))
-        return Compiled(scored=scored)
+        return _bm25_wrap(scored)
     elif m == 2 and (
         any(isinstance(t, dict) for t in qterms)
         or src.get("fields")
@@ -1088,7 +1148,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             base.select(*ctx.key_cols, pf.alias("score"))
             .where(F.col("score") > 0)
         )
-        return Compiled(scored=scored)
+        return _bm25_wrap(scored)
     else:
         # unordered, plain distinct single-field terms (arity >= 3, and
         # arity-2 pairs routed here so both get freq-sum scoring): merged
@@ -1162,7 +1222,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             .groupBy(*ctx.key_cols)
             .agg(F.sum(F.lit(1.0) / (1 + slop)).alias("score"))
         )
-        return Compiled(scored=scored)
+        return _bm25_wrap(scored)
 
 
 def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:
@@ -1252,13 +1312,15 @@ def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:
 def _match_phrase_prefix(ctx: _Ctx, body: dict) -> Compiled:
     """match_phrase_prefix (MatchPhraseFrefixQueryBuilder, reg
     SearchModule.java:783): phrase of the leading terms with the trailing
-    term as a position-anchored prefix.
+    term as a position-anchored prefix, truncated at max_expansions (50,
+    MatchQuery.java DEFAULT_PHRASE_SLOP sibling default) in term order.
 
-    Scoring simplification (documented divergence): idf over the complete
-    leading terms only — ES's MultiPhraseQuery blends idf over every prefix
-    expansion in the term dictionary, which depends on segment-private
-    expansion caps (max_expansions=50); our formula is expansion-independent
-    and mirrored exactly in the oracle.
+    Scoring (round 5, Lucene-faithful): MultiPhrasePrefixQuery rewrites to
+    a MultiPhraseQuery over the dictionary expansions, so the weight blends
+    idf over the DISTINCT union of leading terms and expansions (twin of
+    the kernel's bind_weights and the oracle's expansion CTE). The trailing
+    position matches only the expansion set — past the cap, rarer-suffix
+    terms silently stop matching, exactly ES's documented behavior.
     """
     (field, spec), = body.items()
     if isinstance(spec, str):
@@ -1267,8 +1329,24 @@ def _match_phrase_prefix(ctx: _Ctx, body: dict) -> Compiled:
     if not qterms:
         return Compiled(predicate=F.lit(False))
     lead, pref = qterms[:-1], qterms[-1]
-    stats_terms = list(set(lead)) or [pref]
-    stats = M.corpus_stats(ctx.docs, ctx.key_cols, stats_terms, field)
+    max_exp = int(spec.get("max_expansions", 50))
+    # dictionary expansion from the WHOLE corpus (the terms dict is
+    # index-wide, not filter-scoped): distinct tokens with the prefix, term
+    # order, capped — a bounded TakeOrderedAndProject, <= max_exp strings
+    # ever reach the driver
+    exps = [
+        r.t
+        for r in ctx.docs.select(
+            F.explode(analysis.tokens(field)).alias("t")
+        )
+        .where(F.col("t").startswith(pref))
+        .distinct()
+        .orderBy("t")
+        .limit(max_exp)
+        .collect()
+    ]
+    stats_terms = sorted(set(lead) | set(exps))
+    stats = M.corpus_stats(ctx.docs, ctx.key_cols, stats_terms or [pref], field)
     cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
     toks = cand.select(*ctx.key_cols, analysis.tokens(field).alias("toks"))
     toks = toks.select(*ctx.key_cols, F.size("toks").alias("dl"), "toks")
@@ -1278,13 +1356,14 @@ def _match_phrase_prefix(ctx: _Ctx, body: dict) -> Compiled:
         lambda p: reduce(
             lambda a, b: a & b,
             [F.element_at("toks", (p + i + 1).cast("int")) == F.lit(t) for i, t in enumerate(lead)]
-            + [F.element_at("toks", (p + m).cast("int")).startswith(pref)],
+            + [F.element_at("toks", (p + m).cast("int")).isin(exps) if exps
+               else F.lit(False)],
         ),
     )
     pf = toks.select(*ctx.key_cols, "dl", F.size(pos_ok).alias("pf")).where(
         (F.col("pf") > 0) & (F.size("toks") >= m)
     )
-    if lead:
+    if stats_terms:
         idf_sum = stats.term_df.crossJoin(F.broadcast(stats.n_and_avgdl)).agg(
             F.sum(F.expr(scoring.idf_sql("n_docs", "df"))).alias("idf"),
             F.first("avgdl").alias("avgdl"),

@@ -72,6 +72,15 @@ SEARCH_QUERIES: dict[str, dict] = {
     },
     "match_bool_prefix_topk": {"match_bool_prefix": {"text": "query fas"}},
     "match_phrase_prefix_topk": {"match_phrase_prefix": {"text": "table ha"}},
+    # round 5: expansion-blended idf with a BINDING cap — "s" expands to 6
+    # vocabulary terms (scan slow small sort spark stream), max_expansions=3
+    # keeps only {scan, slow, small} in term order, so both the idf blend
+    # and the silent truncation are under the gate
+    "phrase_prefix_blended": {
+        "match_phrase_prefix": {
+            "text": {"query": "the s", "max_expansions": 3}
+        }
+    },
     "terms_set_msm": {
         "terms_set": {
             "text": {
@@ -232,6 +241,18 @@ INTERVALS_QUERIES: dict[str, dict] = {
 # span family (Span*QueryBuilder.java reg SearchModule.java:803-813), rewritten
 # by plans.query_dsl._rewrite_span onto match / intervals; both paths + oracle
 SPAN_QUERIES: dict[str, dict] = {
+    # round 5: gates the SpanWeight similarity wrap (freq -> SimScorer) on
+    # an unordered pair distinct from the older span fixtures
+    "span_near_bm25": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "fast"}},
+            ],
+            "slop": 4,
+            "in_order": False,
+        }
+    },
     "span_near_ordered": {
         "span_near": {
             "clauses": [

@@ -362,3 +362,46 @@ class TestSiblingPipelineAggs:
         assert len(out) == 1
         assert out.iloc[0]["pb_p1"] == out.iloc[0]["sum_turn"]
         assert out.iloc[0]["pb_p99"] == out.iloc[0]["sum_turn"]
+
+
+class TestScriptSortNulls:
+    """script_sort null placement: Spark asc defaults NULLS FIRST while the
+    DuckDB oracle defaults NULLS LAST — both sides now pin NULLS LAST
+    (ADVICE r4), so a script that evaluates to NULL on some rows agrees."""
+
+    SCRIPT = "case when turn_idx % 2 = 0 then cast(turn_idx as double) end"
+    QUERY = {"match": {"text": "spark"}}
+
+    def _compare(self, spark, sf_dir, order):
+        import duckdb
+
+        from elasticsearch_spark import oracle
+        from elasticsearch_spark.operators import cursor
+        from elasticsearch_spark.sources import transcripts as TR
+
+        got = [
+            (r.conv_id, r.turn_idx, r.sort_value)
+            for r in cursor.script_sort(
+                TR.transcripts_view(spark, sf_dir), self.QUERY, KEYS,
+                self.SCRIPT, order, 500,
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            (c, int(t), None if v is None else float(v))
+            for c, t, v in con.execute(
+                oracle.script_sort_sql(self.QUERY, self.SCRIPT, order, 500)
+            ).fetchall()
+        ]
+        assert got == want
+        # non-vacuous: the page must actually contain NULL sort values
+        assert any(v is None for _, _, v in got)
+
+    def test_asc_nulls_agree(self, spark, sf_dir):
+        self._compare(spark, sf_dir, "asc")
+
+    def test_desc_nulls_agree(self, spark, sf_dir):
+        self._compare(spark, sf_dir, "desc")

@@ -236,14 +236,26 @@ def test_field_masking_span_ordered(spark, tiny_store):
 
 
 def test_field_masking_span_scores(spark, tiny_store):
-    # arity-2 chain scores 1/(1 + min slop): doc4 gamma@1 -> slop 0 -> 1.0,
-    # doc0 gamma@2 -> 0.5, doc5/doc6 gamma@3 -> 1/3
+    # interval freq 1/(1 + min slop): doc4 gamma@1 -> slop 0 -> 1.0,
+    # doc0 gamma@2 -> 0.5, doc5/doc6 gamma@3 -> 1/3; then fed through the
+    # field similarity as SpanWeight does. Hand-derived: weight = the
+    # masked step's idf on its SOURCE field (tool:'search', df=9) plus
+    # idf(text:'gamma', df=7) over N=9; avgdl = 34/9; all dl < 8 so the
+    # byte4 quantization is the identity; dl = 4 for every hit.
+    import math
+
     df, store = tiny_store
+    w = math.log(1 + 0.5 / 9.5) + math.log(1 + 2.5 / 7.5)
+    norm = 1.2 * (0.25 + 0.75 * 4 / (34 / 9))
+
+    def bm(pf):
+        return round(w * 2.2 * pf / (pf + norm), 4)
+
     got = {
         r.turn_idx: round(r.score, 4)
         for r in Q.search(df, _masked_near("gamma", 2), KEYS, k=100).collect()
     }
-    assert got == {4: 1.0, 0: 0.5, 5: round(1 / 3, 4), 6: round(1 / 3, 4)}
+    assert got == {4: bm(1.0), 0: bm(0.5), 5: bm(1 / 3), 6: bm(1 / 3)}
 
 
 def test_field_masking_span_top_level_is_inner(spark, tiny_store):
@@ -303,14 +315,19 @@ def test_span_gap_consumes_window_not_slop(spark, tiny_store):
 
 
 def test_span_gap_scores_exclude_gap_width(spark, tiny_store):
-    # doc0 window alpha@0..gamma@2 width 1, gap eats it -> slop 0 -> 1.0;
-    # doc1 width 2 -> slop 1 -> 0.5; doc5 slop 1; doc6 slop 0
+    # freqs: doc0 window alpha@0..gamma@2 width 1, gap eats it -> slop 0 ->
+    # 1.0; doc1 width 2 -> slop 1 -> 0.5; doc5 slop 1; doc6 slop 0; then the
+    # BM25 wrap (gap placeholder steps contribute no idf)
     df, _ = tiny_store
     got = {
         r.turn_idx: round(r.score, 4)
         for r in Q.search(df, _gap_near(["alpha", 1, "gamma"], 3), KEYS, k=100).collect()
     }
-    assert got == {0: 1.0, 6: 1.0, 1: 0.5, 5: 0.5, 2: round(1 / 3, 4)}
+    want = bm25_wrap(
+        TEXTS, ["alpha", "gamma"],
+        {0: 1.0, 6: 1.0, 1: 0.5, 5: 0.5, 2: 1 / 3},
+    )
+    assert got == want
 
 
 def test_span_gap_validations(spark):
@@ -320,6 +337,26 @@ def test_span_gap_validations(spark):
         Q.normalize_query(_gap_near([1, "alpha", "gamma"], 2))
     with pytest.raises(ValueError, match="trail"):
         Q.normalize_query(_gap_near(["alpha", "gamma", 1], 2))
+
+
+def bm25_wrap(texts, weight_terms, freqs):
+    """Hand-derived BM25 wrap of an interval-freq map (SpanWeight feeds
+    sloppyFreq through SimScorer.score(freq, norm)): weight = sum of idfs
+    of the query's distinct concrete terms, norm from the outer field's dl.
+    All crafted docs have dl < 16, so byte4 quantization is the identity."""
+    import math
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    avg = sum(len(tk) for tk in toks.values()) / n
+    w = 0.0
+    for t in set(weight_terms):
+        df = sum(1 for tk in toks.values() if t in tk)
+        w += math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return {
+        i: round(w * 2.2 * pf / (pf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avg)), 4)
+        for i, pf in freqs.items()
+    }
 
 
 def brute_interval_freq(text, terms, mg, ordered=False):
@@ -380,11 +417,11 @@ def test_unordered_arity3_minimal_window(spark, tmp_path_factory):
         if mg >= 0:
             spec["max_gaps"] = mg
         qd = {"intervals": {"text": {"match": spec}}}
-        want = {
-            i: round(s, 4)
+        want = bm25_wrap(texts, ["a", "b", "c"], {
+            i: s
             for i, t in texts.items()
             if (s := brute_interval_freq(t, ["a", "b", "c"], mg)) is not None
-        }
+        })
         gl = {r.turn_idx: round(r.score, 4)
               for r in Q.search(df, qd, KEYS, k=100).collect()}
         gi = {r.turn_idx: round(r.score, 4)
@@ -412,12 +449,12 @@ def test_ordered_freq_sum_multiple_windows(spark, tmp_path_factory):
         if mg >= 0:
             spec["max_gaps"] = mg
         qd = {"intervals": {"text": {"match": spec}}}
-        want = {
-            i: round(s, 4)
+        want = bm25_wrap(texts, ["a", "b"], {
+            i: s
             for i, t in texts.items()
             if (s := brute_interval_freq(t, ["a", "b"], mg, ordered=True))
             is not None
-        }
+        })
         gl = {r.turn_idx: round(r.score, 4)
               for r in Q.search(df, qd, KEYS, k=100).collect()}
         gi = {r.turn_idx: round(r.score, 4)
@@ -430,10 +467,13 @@ def test_single_step_scores_occurrence_count(spark, tiny_store):
     # minimal intervals). doc4 "alpha gamma alpha zeta" has 2 alphas.
     df, store = tiny_store
     qd = {"span_first": {"match": {"span_term": {"text": "alpha"}}, "end": 100}}
-    want = {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 2.0, 5: 1.0, 6: 1.0, 7: 1.0,
-            8: 1.0}
-    gl = {r.turn_idx: r.score for r in Q.search(df, qd, KEYS, k=100).collect()}
-    gi = {r.turn_idx: r.score
+    want = bm25_wrap(TEXTS, ["alpha"], {
+        0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 2.0, 5: 1.0, 6: 1.0, 7: 1.0,
+        8: 1.0,
+    })
+    gl = {r.turn_idx: round(r.score, 4)
+          for r in Q.search(df, qd, KEYS, k=100).collect()}
+    gi = {r.turn_idx: round(r.score, 4)
           for r in topk.search_indexed(spark, store, qd, k=100).collect()}
     assert gl == want and gi == want
 
@@ -487,7 +527,7 @@ def test_within_containing_score_streams(spark, tmp_path_factory):
             }
         }
 
-    for kind, want in [
+    for kind, freqs in [
         # within: doc0 one enclosed beta; doc1 beta enclosed by [0,3];
         # doc2 two enclosed betas
         ("span_within", {0: 1.0, 1: 1.0, 2: 2.0}),
@@ -495,6 +535,8 @@ def test_within_containing_score_streams(spark, tmp_path_factory):
         # misses beta; doc2 [0,2]+[3,5] -> 1.0
         ("span_containing", {0: 0.5, 2: 1.0}),
     ]:
+        # weight = idf(little) + idfs of the big chain's terms
+        want = bm25_wrap(texts, ["beta", "alpha", "gamma"], freqs)
         gl = {r.turn_idx: round(r.score, 4)
               for r in Q.search(df, qd(kind), KEYS, k=100).collect()}
         gi = {r.turn_idx: round(r.score, 4)
@@ -522,9 +564,13 @@ def test_nonplain_pair_freq_sum(spark, tiny_store):
     gi = {r.turn_idx: round(r.score, 4)
           for r in topk.search_indexed(spark, store, qd, k=100).collect()}
     # gamma/alpha per doc: 0:(2|0) slop 1; 1:(4|1) slop 2; 2:(4|0) slop 3;
-    # 3:(0|2) slop 1; 4: two windows slop 0 each; 5:(3|0) slop 2; 6:(3|1) slop 1
-    want = {0: 0.5, 1: round(1 / 3, 4), 2: 0.25, 3: 0.5, 4: 2.0,
-            5: round(1 / 3, 4), 6: 0.5}
+    # 3:(0|2) slop 1; 4: two windows slop 0 each; 5:(3|0) slop 2; 6:(3|1)
+    # slop 1. Weight: the prefix-expansion step contributes NO idf
+    # (tuple steps mirror SpanMultiTermQueryWrapper's rewritten weight),
+    # only the concrete span_term 'alpha' does.
+    want = bm25_wrap(TEXTS, ["alpha"], {
+        0: 0.5, 1: 1 / 3, 2: 0.25, 3: 0.5, 4: 2.0, 5: 1 / 3, 6: 0.5,
+    })
     assert gl == want and gi == want, (gl, gi)
 
 
@@ -545,8 +591,9 @@ def test_duplicate_term_pair_overlapping_sets(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("duppair"))
     store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
     qd = {"intervals": {"text": {"match": {"query": "beta beta"}}}}
-    # doc0 windows [1,3] slop 1 + [3,4] slop 0 -> 1.5; doc2 [0,1] -> 1.0
-    want = {0: 1.5, 2: 1.0}
+    # doc0 windows [1,3] slop 1 + [3,4] slop 0 -> freq 1.5; doc2 [0,1] ->
+    # 1.0; weight counts the DISTINCT term 'beta' once
+    want = bm25_wrap(texts, ["beta"], {0: 1.5, 2: 1.0})
     gl = {r.turn_idx: round(r.score, 4)
           for r in Q.search(df, qd, KEYS, k=100).collect()}
     gi = {r.turn_idx: round(r.score, 4)
