@@ -106,6 +106,13 @@ R5_WINDOW = [
     "search_span_near_bm25", "indexed_span_near_bm25",
     "search_phrase_prefix_blended", "indexed_phrase_prefix_blended",
     "hand_phrase_prefix",
+    # span family re-gates: round 5 switched span freq to SpanScorer's
+    # per-start stream (NearSpansOrdered/Unordered emission, no containment
+    # minimization; within/containing containment vs EMITTED big spans)
+    "indexed_span_near_ordered", "indexed_span_gap_near",
+    "indexed_span_within_near", "indexed_span_containing_near",
+    "indexed_span_field_masking", "indexed_span_near_multi",
+    "indexed_span_not", "hand_span_near", "hand_span_unordered",
     # -- (c) regression rotation: high-traffic shapes from rounds 1-2
     "search_match_or_topk", "indexed_match_or_topk",
     "search_match_and_topk", "indexed_match_and_topk",
@@ -118,7 +125,6 @@ R5_WINDOW = [
     "search_dis_max_topk", "indexed_dis_max_topk",
     "search_function_score_topk", "indexed_function_score_topk",
     "search_multi_match_best", "indexed_multi_match_best",
-    "search_term_scored", "indexed_term_scored",
     # expansion shapes re-gated after the round-5 cap change
     "search_query_string_phrase_wild", "indexed_query_string_phrase_wild",
     "search_regexp_topk", "indexed_regexp_topk",
@@ -126,8 +132,8 @@ R5_WINDOW = [
     "search_match_phrase_prefix_topk", "indexed_match_phrase_prefix_topk",
     "search_match_bool_prefix_topk", "indexed_match_bool_prefix_topk",
     "agg_terms_role", "agg_date_histogram_cumsum",
-    "agg_composite_role_tool", "agg_top_hits_role",
-    "cursor_search_after", "cursor_collapse", "cursor_rescore",
+    "agg_composite_role_tool",
+    "cursor_search_after", "cursor_collapse",
     "dedup_exact", "dedup_minhash_lsh", "ann_lsh_topk",
 ]
 

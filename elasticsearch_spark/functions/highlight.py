@@ -94,11 +94,20 @@ def highlight_fragments_expr(
     def bound(i):
         # boundary i = i*fs extended past the word (letter/number run, the
         # analyzer's token class) in progress at that offset; boundary 0 is
-        # the text start. Monotone: a run crossing a whole window collapses
-        # that window to empty, which the hit filter then drops.
-        run = F.length(
-            F.regexp_extract(c.substr(i * fs + 1, F.length(c)), _WORD_RUN_JAVA, 0)
-        )
+        # the text start. A word is IN PROGRESS only when the char before
+        # the boundary is also a word char — a word that merely STARTS at
+        # the boundary belongs to the next window (SimpleFragmenter breaks
+        # BETWEEN tokens, it never pulls a following token back). Monotone:
+        # a run crossing a whole window collapses that window to empty,
+        # which the hit filter then drops.
+        run = F.when(
+            c.substr(i * fs, F.lit(1)).rlike(r"[\p{L}\p{N}]"),
+            F.length(
+                F.regexp_extract(
+                    c.substr(i * fs + 1, F.length(c)), _WORD_RUN_JAVA, 0
+                )
+            ),
+        ).otherwise(F.lit(0))
         return F.when(i == F.lit(0), F.lit(0)).otherwise(i * fs + run)
 
     def frag(i):
@@ -138,9 +147,13 @@ def highlight_fragments_sql(
     taglen = len(pre) + len(post)
 
     def bound(iexpr: str) -> str:
+        # twin of the expr bound(): extend only past a word IN PROGRESS
+        # (word char on both sides of the nominal boundary)
         run = (
+            f"(CASE WHEN regexp_matches(substr({text_expr}, ({iexpr}) * {fs}, 1), "
+            f"'[\\pL\\pN]') THEN "
             f"len(regexp_extract(substr({text_expr}, ({iexpr}) * {fs} + 1), "
-            f"'{_WORD_RUN_RE2}', 0))"
+            f"'{_WORD_RUN_RE2}', 0)) ELSE 0 END)"
         )
         return f"(CASE WHEN ({iexpr}) = 0 THEN 0 ELSE ({iexpr}) * {fs} + {run} END)"
 

@@ -18,13 +18,15 @@ hand with different algebra and query structure:
   * dis_max tie_breaker as greatest/least algebra over coalesced clause
     scores (DisMaxQueryBuilder: best + tb * sum(others)),
   * minimum_should_match as boolean-arithmetic clause counting,
-  * span_near interval freq derived per-END (each trailing-term occurrence
-    pairs with its closest preceding lead occurrence; same-start pairs keep
-    the smallest end) — the engine and the generated oracle both work
-    per-START with greedy chains; the two minimal-interval constructions
-    provably coincide, so agreement pins the sloppyFreq summation. The freq
-    then goes through the hand-written BM25 (SpanWeight feeds sloppyFreq to
-    SimScorer.score; weight = sum of concrete-term idfs).
+  * span_near per-start stream freq derived per-END (each trailing-term
+    occurrence q collects every lead strictly between q's closest preceding
+    trailing-term occurrence and q — exactly the leads whose greedy
+    successor is q) — the engine and the generated oracle both work
+    per-START (one greedy chain per lead, NearSpansOrdered's emission); the
+    two constructions provably enumerate the same span stream, so agreement
+    pins the SpanScorer sloppyFreq summation. The freq then goes through
+    the hand-written BM25 (SpanWeight feeds sloppyFreq to SimScorer.score;
+    weight = sum of concrete-term idfs).
 Only the data derivation (transcripts view) and the analyzer's token regex
 are shared — they define the input contract, not the scoring semantics.
 """
@@ -81,6 +83,16 @@ HAND_QUERIES: dict[str, dict] = {
     "hand_phrase_prefix": {
         "match_phrase_prefix": {
             "text": {"query": "the s", "max_expansions": 3}
+        }
+    },
+    "hand_span_unordered": {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "scan"}},
+                {"span_term": {"text": "filter"}},
+            ],
+            "slop": 3,
+            "in_order": False,
         }
     },
 }
@@ -189,19 +201,20 @@ ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
 
 
 def _span_near_pair_sql(t1: str, t2: str, slop: int) -> str:
-    # Interval freq for an ordered pair, derived per-END (the engine and the
-    # generated oracle both work per-START with greedy chains): each t2
-    # occurrence q pairs with the CLOSEST preceding t1 occurrence p; among
-    # pairs sharing a start keep the smallest end (minimal-interval set —
-    # provably the same set as the per-start form); drop pairs wider than
-    # slop AFTER minimization; freq = sum of 1/(1 + (q - p - 1)) = 1/(q-p),
-    # then fed through the hand-derived BM25 like SpanWeight feeds its
-    # sloppyFreq through SimScorer.score(freq, norm), with the span weight
-    # being the sum of the two concrete terms' idfs
-    pairs = (
-        f"list_filter(list_transform(p2, q -> "
-        f"{{'p': list_max(list_filter(p1, p -> p < q)), 'q': q}}), "
-        f"x -> struct_extract(x, 'p') IS NOT NULL)"
+    # SpanScorer per-start stream freq for an ordered pair, derived per-END
+    # (the engine and the generated oracle both work per-START: one greedy
+    # chain per lead, no containment minimization): NearSpansOrdered emits
+    # (p, q) exactly when q is p's greedy successor, i.e. p lies strictly
+    # between q's closest preceding t2 occurrence and q — so each t2
+    # occurrence q collects EVERY t1 occurrence in that open window, keeps
+    # those within slop, and contributes 1/(1 + (q - p - 1)) = 1/(q-p)
+    # apiece. The freq then goes through the hand-derived BM25 like
+    # SpanWeight feeds its sloppyFreq through SimScorer.score(freq, norm),
+    # with the span weight being the sum of the two concrete terms' idfs.
+    leads = (
+        f"list_filter(p1, p -> p < q AND p > "
+        f"coalesce(list_max(list_filter(p2, r -> r < q)), -1) "
+        f"AND q - p - 1 <= {slop})"
     )
     return f"""{TRANSCRIPTS_CTE},
 tok AS (SELECT conv_id, turn_idx,
@@ -217,23 +230,59 @@ g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
              count(CASE WHEN len(p1) > 0 THEN 1 END) AS df1,
              count(CASE WHEN len(p2) > 0 THEN 1 END) AS df2
       FROM ps),
-pv AS (SELECT conv_id, turn_idx, dl, {pairs} AS pairs FROM ps),
-kept AS (SELECT conv_id, turn_idx, dl,
-                list_filter(
-                  list_filter(pairs, x -> len(list_filter(pairs, y ->
-                    struct_extract(y, 'p') = struct_extract(x, 'p') AND
-                    struct_extract(y, 'q') < struct_extract(x, 'q'))) = 0),
-                  x -> struct_extract(x, 'q') - struct_extract(x, 'p') - 1
-                       <= {slop}) AS kp
-         FROM pv),
 fr AS (SELECT conv_id, turn_idx, dl,
-              list_sum(list_transform(kp, x ->
-                1.0 / (struct_extract(x, 'q') - struct_extract(x, 'p')))) AS freq
-       FROM kept WHERE len(kp) > 0)
+              list_sum(list_transform(p2, q ->
+                coalesce(list_sum(list_transform({leads},
+                  p -> 1.0 / (q - p))), 0.0))) AS freq
+       FROM ps WHERE len(p1) > 0 AND len(p2) > 0)
 SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
   SELECT conv_id, turn_idx,
          {_bm25('freq', _idf('df1') + ' + ' + _idf('df2'))} AS score
-  FROM fr, g)
+  FROM fr, g WHERE freq > 0)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
+def _span_unordered_pair_sql(t1: str, t2: str, slop: int) -> str:
+    # NearSpansUnordered per-start stream for a distinct pair, derived by
+    # hand PER LABEL (the generated oracle builds one merged UNION-ALL
+    # stream with window functions): every occurrence s of EITHER term is
+    # the min-start of exactly one visited walk configuration, whose end is
+    # the other term's closest occurrence >= s. Emitted iff
+    # end - s - 1 <= slop; the sloppy factor uses Lucene's
+    # NearSpansUnordered.width() = START-TO-START distance, 1/(1 + end - s)
+    # (NOT the gap-based 1/(1+slop) ordered factor — the asymmetry this
+    # fixture pins). freq = the two per-label sums; BM25 wrap as in
+    # hand_span_near.
+    def leg(own: str, other: str) -> str:
+        return (
+            f"list_sum(list_transform({own}, s -> CASE WHEN "
+            f"list_min(list_filter({other}, q -> q >= s)) - s - 1 <= {slop} "
+            f"THEN 1.0 / (1 + list_min(list_filter({other}, q -> q >= s)) - s) "
+            f"ELSE 0.0 END))"
+        )
+
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+ps AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t1}'), i -> i - 1) AS p1,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t2}'), i -> i - 1) AS p2
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN len(p1) > 0 THEN 1 END) AS df1,
+             count(CASE WHEN len(p2) > 0 THEN 1 END) AS df2
+      FROM ps),
+fr AS (SELECT conv_id, turn_idx, dl,
+              coalesce({leg('p1', 'p2')}, 0.0) +
+              coalesce({leg('p2', 'p1')}, 0.0) AS freq
+       FROM ps WHERE len(p1) > 0 AND len(p2) > 0)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         {_bm25('freq', _idf('df1') + ' + ' + _idf('df2'))} AS score
+  FROM fr, g WHERE freq > 0)
 ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
 
 
@@ -279,6 +328,7 @@ HAND_ORACLE_SQL = {
     "hand_match_msm": _match_msm_sql("spark", "join", "fast", 2),
     "hand_span_near": _span_near_pair_sql("hash", "join", 3),
     "hand_phrase_prefix": _phrase_prefix_sql("the", "s", 3),
+    "hand_span_unordered": _span_unordered_pair_sql("scan", "filter", 3),
 }
 
 

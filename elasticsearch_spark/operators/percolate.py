@@ -38,6 +38,15 @@ from pyspark.sql import functions as F
 from ..functions import analysis
 
 
+class UnextractableQuery(ValueError):
+    """Stored query with no extractable positive text terms (keyword-only /
+    pure-negative / range-only / msm<=0 shapes) — QueryAnalyzer.java marks
+    these matchAllDocs and ES verifies per-doc via MemoryIndex; the scan arm
+    handles them exactly. Distinct from a plain ValueError, which signals an
+    INVALID stored query (e.g. a malformed minimum_should_match) and always
+    propagates to the caller."""
+
+
 def _msm(raw, n_terms: int) -> int:
     """minimum_should_match value: int, numeric string, or "30%"-style
     percentage (Queries.calculateMinShouldMatch — truncating, floor 1 here
@@ -67,7 +76,7 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
     if kind == "match":
         (field, spec), = body.items()
         if field != "text":
-            raise ValueError("percolate supports the analyzed `text` field")
+            raise UnextractableQuery("percolate supports the analyzed `text` field")
         if isinstance(spec, str):
             spec = {"query": spec}
         terms = list(dict.fromkeys(analysis.analyze(spec["query"])))
@@ -77,13 +86,13 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
     if kind in ("term", "terms"):
         (field, v), = body.items()
         if field != "text":
-            raise ValueError("percolate supports the analyzed `text` field")
+            raise UnextractableQuery("percolate supports the analyzed `text` field")
         vals = list(v) if kind == "terms" else [v["value"] if isinstance(v, dict) else v]
         return [str(x).lower() for x in vals], 1, False
     if kind == "match_phrase":
         (field, spec), = body.items()
         if field != "text":
-            raise ValueError("percolate supports the analyzed `text` field")
+            raise UnextractableQuery("percolate supports the analyzed `text` field")
         text = spec["query"] if isinstance(spec, dict) else spec
         terms = list(dict.fromkeys(analysis.analyze(text)))
         # all distinct phrase terms are required; positions verify residually
@@ -104,14 +113,15 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
                 had_required = True
                 try:
                     ts, _, _ = _query_terms(sub)
-                except ValueError:
+                except UnextractableQuery:
                     continue  # another required clause may still prune soundly
                 req_terms += ts
         if had_required:
             if not req_terms:
-                raise ValueError(
+                raise UnextractableQuery(
                     "percolate bool query has no extractable required terms "
-                    "(keyword-only / range-only must clauses are unsupported)"
+                    "(keyword-only / range-only must clauses route to the "
+                    "exact scan arm)"
                 )
             return list(dict.fromkeys(req_terms)), 1, True
         msm = body.get("minimum_should_match")
@@ -120,24 +130,26 @@ def _query_terms(query: dict) -> tuple[list[str], int, bool]:
             # msm<=0 makes should clauses OPTIONAL (the bool matches every
             # doc); term-based candidate pruning would silently drop matches,
             # so refuse loudly like the other unsupported stored shapes
-            raise ValueError(
+            raise UnextractableQuery(
                 "percolate bool with minimum_should_match<=0 matches all "
                 "docs; term pruning is unsound for this stored query"
             )
         sh_terms: list[str] = []
         items = body.get("should") or []
         for sub in items if isinstance(items, list) else [items]:
-            # ValueError propagates: an un-extractable should child makes
-            # should-based pruning unsound
+            # an un-extractable should child makes should-based pruning
+            # unsound — its UnextractableQuery propagates and routes the
+            # whole bool to the exact scan arm
             ts, _, _ = _query_terms(sub)
             sh_terms += ts
         if not sh_terms:
-            raise ValueError(
+            raise UnextractableQuery(
                 "percolate bool query has no extractable positive terms "
-                "(pure-negative / keyword-only stored queries are unsupported)"
+                "(pure-negative / keyword-only stored queries route to the "
+                "exact scan arm)"
             )
         return list(dict.fromkeys(sh_terms)), 1, True
-    raise ValueError(f"percolate cannot index stored query kind: {kind}")
+    raise UnextractableQuery(f"percolate cannot index stored query kind: {kind}")
 
 
 def percolate(
@@ -177,7 +189,7 @@ def percolate(
             continue
         try:
             terms, need, residual = _query_terms(q)
-        except ValueError:
+        except UnextractableQuery:
             # no extractable positive terms (keyword-only / pure-negative /
             # range-only / msm<=0): QueryAnalyzer.java marks these
             # matchAllDocs and ES verifies per-doc via MemoryIndex — here

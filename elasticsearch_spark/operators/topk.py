@@ -127,15 +127,24 @@ class IntervalsLeaf:
     merged-occurrence-stream minimal-covering-window scan (any arity),
     non-plain pairs (prefix-expanded / masked / duplicate-term steps, where
     the two occurrence sets may OVERLAP) via per-end minimal windows.
-    Scoring (round 5, Lucene-faithful): interval freq = the sum of
+    Scoring (round 5, Lucene-faithful, both algebras): freq follows the
+    family that owns the shape. Plain intervals (span_stream=False): sum of
     1/(1 + slop) over the MINIMAL interval set (interval minimization — no
-    kept interval contains another; IntervalQuery-style minimal-interval
-    summation, a documented divergence from SpanScorer's per-start stream,
-    which emits one span per lead occurrence without containment
-    minimization — 'a a b' scores 1.5 there vs 1.0 here; all three twins
-    agree). Single-term shapes (span_term/span_first/span_not) contribute 1
-    per surviving occurrence (width-0 intervals). The freq is then fed
-    through the field similarity exactly as SpanWeight does
+    kept interval contains another; IntervalQuery's minimal-interval
+    algebra). Span rewrites (span_stream=True): SpanScorer's PER-START
+    stream with NO containment minimization — NearSpansOrdered emits the
+    greedy (stretchToOrder) chain per lead occurrence, sloppy factor
+    1/(1 + gap sum) ('a a b' near(a,b) scores 0.5 + 1.0 = 1.5);
+    NearSpansUnordered emits one window per min-advance step
+    ([s, max over labels of next-occurrence >= s]), slop CHECK
+    end - s - (m-1) <= slop but sloppy factor 1/(1 + (end - s)) — width()
+    is START-TO-START, Lucene's ordered/unordered asymmetry. Unordered
+    NON-PLAIN pairs (overlapping occurrence sets) keep per-end minimal
+    windows under both algebras (Lucene's walk is heap-tie-order-dependent
+    there; ES calls masked proximity best-effort). Single-term shapes
+    (span_term/span_first/span_not) contribute 1 per surviving occurrence
+    (width-0 spans) under both. The freq is then fed through the field
+    similarity exactly as SpanWeight does
     (Similarity.SimScorer.score(freq, norm)): score = weight * (k1+1) *
     freq / (freq + k1*(1-b+b*dl_q/avgdl)), weight = idf summed over the
     query's distinct concrete terms (SpanWeight.buildSimWeight over
@@ -148,8 +157,14 @@ class IntervalsLeaf:
     span_containing, reg :805,809): the single little term must sit inside
     an ordered big chain [pb, pc] with pc-pb-1 <= within_gaps; both builders
     match the same DOCUMENT set but score different streams (within_mode):
-    "little" counts enclosed little occurrences, "big" sums 1/(1+slop) over
-    the minimal big spans that contain a little occurrence."""
+    "little" counts enclosed little occurrences, "big" scores the big spans
+    that contain a little occurrence at 1/(1+slop) each. Under span_stream,
+    containment is tested against EMITTED big spans only — the greedy chain
+    per lead. Checking only pb* = max lead <= q suffices for "little": if
+    greedy_end(pb*) < q then some big-end occurrence sits in (pb*, q) and
+    every earlier lead's greedy end is <= it, so no emitted span reaches q;
+    if greedy_end(pb*) >= q, earlier leads either share that end at larger
+    width or fall short the same way — pb* dominates."""
 
     field: str
     terms: list[str]
@@ -173,6 +188,9 @@ class IntervalsLeaf:
     # idf sum over the query's distinct concrete terms (SpanWeight's
     # simWeight), bound at stats time like PhraseLeaf.weight
     weight: float = 0.0
+    # True for span-query rewrites: score the SpanScorer per-start stream;
+    # False for intervals queries: minimal-interval summation (see above)
+    span_stream: bool = False
 
     def step_field(self, i: int) -> str:
         return self.term_fields[i] if self.term_fields else self.field
@@ -941,6 +959,7 @@ class _Lowerer:
                 within_mode=src.get("within_mode", "little"),
                 term_fields=term_fields,
                 gaps=step_gaps,
+                span_stream=bool(src.get("span_stream", False)),
             )
         raise ValueError(f"indexed path cannot lower: {kind}")
 
@@ -1424,10 +1443,12 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     if any(w is None or not len(w) for w in wks):
                         return np.zeros(n, dtype=bool), np.zeros(n)
                     if node.within_mode == "big":
-                        # span_containing scores the BIG span stream: minimal
-                        # big spans (per-start greedy end + same-end dedup,
-                        # the ordered-chain convention) that contain a little
-                        # occurrence each contribute 1/(1 + slop)
+                        # span_containing scores the BIG span stream: per-
+                        # start greedy big spans that contain a little each
+                        # contribute 1/(1 + slop); under span_stream every
+                        # EMITTED span counts (SpanContainingQuery — no
+                        # containment minimization), the intervals algebra
+                        # additionally dedups same-end spans
                         if len(wks) == 1:
                             # width-0 big spans: contain a little iff they
                             # share its position; slop 0
@@ -1443,7 +1464,7 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                         s_, e_ = barr[ok], e[ok]
                         sl = e_ - s_ - 1
                         keep = np.ones(len(e_), dtype=bool)
-                        if len(e_) > 1:
+                        if len(e_) > 1 and not node.span_stream:
                             keep[:-1] = e_[:-1] != e_[1:]
                         if node.within_gaps >= 0:
                             keep &= sl <= node.within_gaps
@@ -1464,6 +1485,22 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     if len(wks) == 1:
                         # big = single-term span [pb, pb]: q must equal pb
                         good = np.isin(q, wks[0])
+                    elif node.span_stream:
+                        # SpanWithinQuery tests containment against EMITTED
+                        # big spans: the greedy chain of the latest lead
+                        # pb* <= q dominates (see class docstring proof)
+                        barr, carr = wks[0], wks[1]
+                        ib = np.searchsorted(barr, q, side="right") - 1
+                        okb = ib >= 0
+                        pb = barr[np.maximum(ib, 0)]
+                        okb &= (pb >> _POS_SHIFT) == (q >> _POS_SHIFT)
+                        ic = np.searchsorted(carr, pb + 1)
+                        okc = ic < len(carr)
+                        e = carr[np.minimum(ic, len(carr) - 1)]
+                        okc &= (e >> _POS_SHIFT) == (q >> _POS_SHIFT)
+                        good = okb & okc & (e >= q)
+                        if node.within_gaps >= 0:
+                            good &= (e - pb - 1) <= node.within_gaps
                     else:
                         barr, carr = wks[0], wks[1]
 
@@ -1557,15 +1594,17 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                             good = good & ~in_win
                     # greedy end is the minimal end from each start, so
                     # cur - start - (m-1) is the per-start minimal slop.
-                    # Minimal-INTERVAL set (Lucene interval minimization: no
-                    # kept interval contains another): starts ascend and
-                    # greedy ends are non-decreasing in start, so an interval
-                    # contains exactly the later ones sharing its end — keep
-                    # the largest start per distinct end (= narrowest).
+                    # span_stream (NearSpansOrdered): every per-lead chain is
+                    # an emitted span — no minimization. Intervals algebra:
+                    # minimal-INTERVAL set (no kept interval contains
+                    # another): starts ascend and greedy ends are
+                    # non-decreasing in start, so an interval contains
+                    # exactly the later ones sharing its end — keep the
+                    # largest start per distinct end (= narrowest).
                     s_, e_ = start[good], cur[good]
                     sl = (cur - start - (m_ - 1) - g_total)[good]
                     keep = np.ones(len(e_), dtype=bool)
-                    if len(e_) > 1:
+                    if len(e_) > 1 and not node.span_stream:
                         keep[:-1] = e_[:-1] != e_[1:]
                     return _sumfreq_scores(s_[keep], sl[keep])
                 elif m_ > 2 or (
@@ -1589,6 +1628,33 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     allk = np.concatenate(ks)
                     o = np.argsort(allk, kind="stable")
                     allk, labels = allk[o], labels[o]
+                    if node.span_stream:
+                        # NearSpansUnordered min-advance walk: one window per
+                        # merged occurrence s — [s, max over labels of that
+                        # label's next occurrence >= s] (s is the min-start
+                        # of exactly one visited configuration). Slop CHECK
+                        # end - s - (m-1) <= slop; sloppy factor
+                        # 1/(1 + (end - s)) (width() is START-TO-START —
+                        # Lucene's ordered/unordered asymmetry). No
+                        # minimization; distinct plain terms cannot tie.
+                        int_max = np.iinfo(np.int64).max
+                        end = np.full(len(allk), np.int64(-1))
+                        cov = np.ones(len(allk), dtype=bool)
+                        for i in range(m_):
+                            v = np.where(labels == i, allk, int_max)
+                            v = np.minimum.accumulate(v[::-1])[::-1]
+                            ok_i = (v != int_max) & (
+                                (v >> _POS_SHIFT) == (allk >> _POS_SHIFT)
+                            )
+                            cov &= ok_i
+                            np.maximum(end, v, out=end)
+                        slop = end - allk - (m_ - 1)
+                        keep = cov
+                        if node.max_gaps >= 0:
+                            keep = keep & (slop <= node.max_gaps)
+                        return _sumfreq_scores(
+                            allk[keep], (end - allk)[keep]
+                        )
                     min_last = np.full(len(allk), np.iinfo(np.int64).max)
                     for i in range(m_):
                         v = np.where(labels == i, allk, np.int64(-1))

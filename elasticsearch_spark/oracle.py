@@ -273,9 +273,12 @@ def _intervals_sql(body: dict, a: str) -> tuple[str, str]:
 
 def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
     """Twin of plans/query_dsl._intervals (match source), freq stage.
-    Scoring is the interval freq: sum of 1/(1 + slop) over the MINIMAL
-    interval set (minimal-interval summation); single-term shapes score the
-    surviving occurrence count."""
+    Plain intervals: sum of 1/(1 + slop) over the MINIMAL interval set
+    (IntervalQuery minimal-interval summation). span_stream (span rewrites):
+    SpanScorer's per-start stream — greedy chain per lead (ordered, factor
+    1/(1+gaps)) / min-advance walk windows (unordered plain, factor
+    1/(1 + start-to-start width)), no containment minimization. Single-term
+    shapes score the surviving occurrence count under both."""
     from .functions.analysis import analyze
 
     (field, spec), = body.items()
@@ -285,6 +288,7 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
     qterms = src.get("steps") or analyze(src["query"])
     max_gaps = int(src.get("max_gaps", -1))
     ordered = bool(src.get("ordered", False))
+    span_stream = bool(src.get("span_stream", False))
     first_end = src.get("first_end")
     not_terms = analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
@@ -352,6 +356,17 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
         if mode == "little":
             if len(wt) == 1:
                 kp = f"list_filter({pq}, q -> list_contains({pos(wt[0])}, q))"
+            elif span_stream:
+                # containment against EMITTED big spans only: the greedy
+                # chain of the latest lead pb* <= q (checking pb* alone
+                # suffices — proof in topk.IntervalsLeaf)
+                pbm = f"list_max(list_filter({pos(wt[0])}, pb -> pb <= q))"
+                e = f"list_min(list_filter({pos(wt[1])}, p -> p > {pbm}))"
+                gap = "true" if wg < 0 else f"({e}) - ({pbm}) - 1 <= {wg}"
+                kp = (
+                    f"list_filter({pq}, q -> "
+                    f"coalesce(({e}) >= q AND {gap}, false))"
+                )
             else:
                 gap = "true" if wg < 0 else f"pc - pb - 1 <= {wg}"
                 kp = (
@@ -373,12 +388,19 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
                 "" if wg < 0
                 else f" AND struct_extract(x, 'e') - struct_extract(x, 'b') - 1 <= {wg}"
             )
+            if span_stream:
+                # SpanContainingQuery: every emitted (per-start greedy) big
+                # span containing a little counts — no same-end dedup
+                dedup = ""
+            else:
+                dedup = (
+                    f"len(list_filter({pairs}, y -> "
+                    f"struct_extract(y, 'e') = struct_extract(x, 'e') AND "
+                    f"struct_extract(y, 'b') > struct_extract(x, 'b'))) = 0 AND "
+                )
             kept = (
                 f"list_filter(list_filter({pairs}, x -> "
-                f"len(list_filter({pairs}, y -> "
-                f"struct_extract(y, 'e') = struct_extract(x, 'e') AND "
-                f"struct_extract(y, 'b') > struct_extract(x, 'b'))) = 0"
-                f"{gapf}), x -> len(list_filter({pq}, q -> "
+                f"{dedup}true{gapf}), x -> len(list_filter({pq}, q -> "
                 f"q >= struct_extract(x, 'b') AND "
                 f"q <= struct_extract(x, 'e'))) > 0)"
             )
@@ -449,13 +471,20 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
             f"'s': ({end}) - p0 - {m - 1 + gap_total}}} END), "
             f"x -> x IS NOT NULL)"
         )
+        if span_stream:
+            # NearSpansOrdered: one greedy chain per lead, no minimization
+            kept = "pv"
+        else:
+            kept = (
+                "list_filter(pv, x -> len(list_filter(pv, y ->\n"
+                "             struct_extract(y, 'e') = struct_extract(x, 'e') AND\n"
+                "             struct_extract(y, 's') < struct_extract(x, 's'))) = 0)"
+            )
         c = f"""
 {a} AS (
   SELECT conv_id, turn_idx,
          list_sum(list_transform(
-           list_filter(pv, x -> len(list_filter(pv, y ->
-             struct_extract(y, 'e') = struct_extract(x, 'e') AND
-             struct_extract(y, 's') < struct_extract(x, 's'))) = 0),
+           {kept},
            x -> 1.0 / (1 + struct_extract(x, 's')))) AS score
   FROM (
     SELECT conv_id, turn_idx, {pairs} AS pv
@@ -534,6 +563,31 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
             f"FROM (SELECT conv_id, turn_idx, {t} FROM transcripts)"
             for i in range(m)
         )
+        if span_stream:
+            # NearSpansUnordered min-advance walk: one window per merged
+            # occurrence s = [s, max over labels of next-occurrence >= s];
+            # slop CHECK end - s - (m-1) <= slop, sloppy factor
+            # 1/(1 + (end - s)) (width() is start-to-start), no minimization
+            nps = ", ".join(
+                f"min(CASE WHEN label = {i} THEN pos END) OVER "
+                f"(PARTITION BY conv_id, turn_idx ORDER BY pos "
+                f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np{i}"
+                for i in range(m)
+            )
+            covered = " AND ".join(f"np{i} IS NOT NULL" for i in range(m))
+            end_e = "greatest(" + ", ".join(f"np{i}" for i in range(m)) + ")"
+            slop_e = f"({end_e}) - pos - {m - 1}"
+            gapf = "" if max_gaps < 0 else f" AND {slop_e} <= {max_gaps}"
+            c = f"""
+{a} AS (
+  SELECT conv_id, turn_idx, sum(1.0 / (1 + ({end_e}) - pos)) AS score
+  FROM (
+    SELECT conv_id, turn_idx, pos, {nps} FROM (
+      {unions})
+  ) WHERE {covered}{gapf}
+  GROUP BY conv_id, turn_idx
+)"""
+            return c, a
         lps = ", ".join(
             f"max(CASE WHEN label = {i} THEN pos END) OVER "
             f"(PARTITION BY conv_id, turn_idx ORDER BY pos "

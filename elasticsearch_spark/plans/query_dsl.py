@@ -196,9 +196,11 @@ def _rewrite_span(kind: str, body: dict) -> dict:
     rewrites to the OR match (documented divergence: Lucene scores the merged
     span enumeration, we sum per-term BM25 — same matches, close scores);
     span_near/span_first/span_not map onto the positions-interval machinery
-    scored by interval freq — sum of 1/(1 + slop) over the minimal interval
-    set, occurrence count for single-step shapes (the SpanScorer sloppyFreq
-    summation; divergence notes on _intervals)."""
+    with `span_stream` set, so the freq follows SpanScorer's PER-START span
+    stream (NearSpansOrdered/NearSpansUnordered emit one span per lead
+    advance, no containment minimization — 'a a b' near 'a b' scores 1.5),
+    while plain intervals queries keep IntervalQuery's minimal-interval
+    algebra (semantics notes on _intervals)."""
     if kind == "span_term":
         f, ts = _span_terms({kind: body})
         return {"match": {f: {"query": ts[0]}}}
@@ -275,6 +277,9 @@ def _rewrite_span(kind: str, body: dict) -> dict:
             "query": " ".join(t if isinstance(t, str) else t["prefix"] + "*" for t in steps),
             "ordered": bool(body.get("in_order", True)),
             "max_gaps": int(body.get("slop", 0)),
+            # span queries score the SpanScorer per-start stream, not the
+            # minimal-interval set (see _intervals)
+            "span_stream": True,
         }
         if any_multi:
             src["steps"] = steps
@@ -297,7 +302,15 @@ def _rewrite_span(kind: str, body: dict) -> dict:
             raise ValueError("span_first supports a span_term match")
         return {
             "intervals": {
-                f: {"match": {"query": ts[0], "first_end": int(body["end"])}}
+                f: {
+                    "match": {
+                        "query": ts[0],
+                        "first_end": int(body["end"]),
+                        # single-occurrence streams: per-start == minimal,
+                        # flagged for uniformity
+                        "span_stream": True,
+                    }
+                }
             }
         }
     if kind == "span_not":
@@ -305,7 +318,7 @@ def _rewrite_span(kind: str, body: dict) -> dict:
         f_ex, ex_terms = _span_terms(body["exclude"])
         if ik == "span_term":
             f_in, ts = _span_terms(body["include"])
-            src = {"query": ts[0]}
+            src = {"query": ts[0], "span_stream": True}
         elif ik == "span_near":
             inner = _rewrite_span("span_near", ib)
             (f_in, sp), = inner["intervals"].items()
@@ -360,6 +373,7 @@ def _rewrite_span(kind: str, body: dict) -> dict:
                         "within_mode": (
                             "little" if kind == "span_within" else "big"
                         ),
+                        "span_stream": True,
                     }
                 }
             }
@@ -786,22 +800,34 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     matches when the analyzed terms occur within an interval of width
     max(pos)-min(pos)-(m-1) <= max_gaps, in query order when ordered=true.
 
-    Scoring: interval freq = the sum of 1/(1 + slop) over the MINIMAL
-    interval set (interval minimization — no kept interval contains
-    another; IntervalQuery-style minimal-interval summation, a documented
-    divergence from SpanScorer's per-start stream, which emits one span per
-    lead occurrence without containment minimization — 'a a b' scores 1.5
-    there vs 1.0 here; all three twins agree). Single-term shapes
-    contribute 1 per surviving occurrence (width-0 intervals);
-    within/containing score their respective span streams (within_mode).
-    The freq is then fed through the field similarity exactly as SpanWeight
-    does (SimScorer.score(freq, norm), _bm25_wrap below; weight = idf over
-    the query's distinct concrete terms — tuple expansion steps and
-    span_not exclusions contribute none). Ordered matching supports any
-    arity via greedy minimal chains; unordered shapes use the merged-stream
-    minimal-covering-window form (plain distinct single-field terms, any
-    arity) or the per-end minimal-window form (non-plain pairs, whose
-    occurrence sets may overlap).
+    Scoring follows the Lucene family that owns the shape:
+
+    - intervals queries (no `span_stream`): freq = sum of 1/(1 + slop) over
+      the MINIMAL interval set (interval minimization — no kept interval
+      contains another), IntervalQuery's minimal-interval algebra.
+    - span rewrites (`span_stream`, set by _rewrite_span): freq follows
+      SpanScorer's PER-START span stream with NO containment minimization.
+      NearSpansOrdered emits the greedy (stretchToOrder) chain per lead
+      occurrence with matchWidth = sum of inter-span gaps, sloppy factor
+      1/(1 + gaps) — so 'a a b' under near(a, b) scores 0.5 + 1.0 = 1.5.
+      NearSpansUnordered emits one window per min-start advance
+      ([s, max over labels of the next occurrence >= s]); its slop CHECK is
+      maxEnd - minStart - totalSpanLength <= slop but its width() is
+      START-TO-START, so the sloppy factor is 1/(1 + (end - start)) — a
+      real Lucene asymmetry vs the ordered factor. Exception: unordered
+      NON-PLAIN pairs (masked / prefix-expanded / duplicate steps, whose
+      occurrence sets may overlap) keep the per-end minimal-window form —
+      Lucene's walk is heap-tie-order-dependent on overlapping subspans,
+      and ES documents masked proximity as best-effort.
+
+    Single-term shapes contribute 1 per surviving occurrence (width-0
+    spans) under both algebras; within/containing score their respective
+    span streams (within_mode), testing containment against EMITTED (greedy
+    per-start) big spans when span_stream is set. The freq is then fed
+    through the field similarity exactly as SpanWeight does
+    (SimScorer.score(freq, norm), _bm25_wrap below; weight = idf over the
+    query's distinct concrete terms — tuple expansion steps and span_not
+    exclusions contribute none).
     """
     (field, spec), = body.items()
     src = spec["match"]
@@ -812,6 +838,7 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         return Compiled(predicate=F.lit(False))
     max_gaps = int(src.get("max_gaps", -1))
     ordered = bool(src.get("ordered", False))
+    span_stream = bool(src.get("span_stream", False))
     first_end = src.get("first_end")
     not_terms = analysis.analyze(src["not_query"]) if src.get("not_query") else []
     m = len(qterms)
@@ -948,6 +975,23 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                 kp = F.filter(
                     lps, lambda q2: F.exists(wp, lambda pb: pb == q2)
                 )
+            elif span_stream:
+                # Lucene SpanWithinQuery tests containment against the big
+                # stream's EMITTED spans only — the greedy chain per lead.
+                # Checking the latest lead pb* <= q suffices: a smaller lead
+                # either greedy-ends before q or shares pb*'s end at larger
+                # width (proof in operators/topk.py IntervalsLeaf docstring).
+                pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
+
+                def enclosed(q2):
+                    pbm = F.array_max(F.filter(pb_a, lambda pb: pb <= q2))
+                    e = F.array_min(F.filter(pc_a, lambda p: p > pbm))
+                    c = e.isNotNull() & (e >= q2)
+                    if wg >= 0:
+                        c = c & (e - pbm - 1 <= wg)
+                    return F.coalesce(c, F.lit(False))
+
+                kp = F.filter(lps, enclosed)
             else:
                 pb_a, pc_a = positions(wterms[0]), positions(wterms[1])
 
@@ -998,12 +1042,17 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
             F.transform(pb_a, big_pair), lambda x: x.isNotNull()
         )
         base = toks.select(*ctx.key_cols, pairs.alias("_pv"), lps.alias("_lp"))
-        kept = F.filter(
-            F.col("_pv"),
-            lambda x: ~F.exists(
-                F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
-            ),
-        )
+        if span_stream:
+            # SpanContainingQuery scores the big stream's emitted spans:
+            # one greedy chain per lead, no containment minimization
+            kept = F.col("_pv")
+        else:
+            kept = F.filter(
+                F.col("_pv"),
+                lambda x: ~F.exists(
+                    F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
+                ),
+            )
         if wg >= 0:
             kept = F.filter(kept, lambda x: x["s"] <= F.lit(wg))
         kept = F.filter(
@@ -1081,12 +1130,17 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
         base = toks.select(*ctx.key_cols, pairs.alias("_pv")).where(
             F.size("_pv") > 0
         )
-        kept = F.filter(
-            F.col("_pv"),
-            lambda x: ~F.exists(
-                F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
-            ),
-        )
+        if span_stream:
+            # NearSpansOrdered: one greedy chain per lead occurrence, no
+            # containment minimization ('a a b' scores 0.5 + 1.0)
+            kept = F.col("_pv")
+        else:
+            kept = F.filter(
+                F.col("_pv"),
+                lambda x: ~F.exists(
+                    F.col("_pv"), lambda y: (y["e"] == x["e"]) & (y["s"] < x["s"])
+                ),
+            )
         pf = F.aggregate(
             kept,
             F.lit(0.0),
@@ -1101,7 +1155,10 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     ):
         # non-plain unordered pair (prefix-expanded / masked / duplicate
         # steps — the two occurrence sets may OVERLAP, so the per-label
-        # merged stream is unsound): per-END minimal windows. Every window
+        # merged stream is unsound): per-END minimal windows, under BOTH
+        # algebras (span_stream included) — Lucene's unordered walk is
+        # heap-tie-order-dependent on overlapping subspans, and ES documents
+        # masked proximity as best-effort. Every window
         # ends at some occurrence x; the narrowest window ending at x pairs
         # it with the closest strictly-earlier occurrence of the OTHER step
         # (either role when x satisfies both). Minimality = no earlier
@@ -1182,6 +1239,45 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                 F.lit(i).alias("_label"),
             )
             u = e if u is None else u.unionByName(e)
+        if span_stream:
+            # NearSpansUnordered min-advance walk: every merged occurrence s
+            # is the min-start of exactly one visited configuration, whose
+            # window is [s, max over labels of that label's next occurrence
+            # >= s]. Emitted iff end - s - (m-1) <= slop; sloppy factor uses
+            # width() = START-TO-START distance (end - s), not the gap count
+            # — Lucene's documented ordered/unordered asymmetry. No
+            # containment minimization.
+            w_f = (
+                Window.partitionBy(*ctx.key_cols)
+                .orderBy("_pos")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            nps = [
+                F.min(F.when(F.col("_label") == i, F.col("_pos")))
+                .over(w_f)
+                .alias(f"_np{i}")
+                for i in range(m)
+            ]
+            ww = u.select(*ctx.key_cols, "_pos", *nps)
+            covered = reduce(
+                lambda x, y: x & y,
+                [F.col(f"_np{i}").isNotNull() for i in range(m)],
+            )
+            end = F.greatest(*[F.col(f"_np{i}") for i in range(m)])
+            slop = end - F.col("_pos") - (m - 1)
+            keep = covered
+            if max_gaps >= 0:
+                keep = keep & (slop <= F.lit(max_gaps))
+            scored = (
+                ww.where(keep)
+                .groupBy(*ctx.key_cols)
+                .agg(
+                    F.sum(
+                        F.lit(1.0) / (1 + end - F.col("_pos"))
+                    ).alias("score")
+                )
+            )
+            return _bm25_wrap(scored)
         w = (
             Window.partitionBy(*ctx.key_cols)
             .orderBy("_pos")

@@ -450,8 +450,12 @@ class TestMultiFragmentHighlighter:
     crafted texts (search/fetch/subphase/highlight/HighlightBuilder.java)."""
 
     TEXTS = [
-        # three exact fs=20 windows: 1 hit / 0 hits / 2 hits
-        "cat sat on the mat  " "zz filler no hits zz" "cat here and cat too",
+        # three exact fs=20 windows: 1 hit / 0 hits / 2 hits. Each window
+        # ends at a token boundary (trailing space), so the token-boundary
+        # fragmenter keeps the nominal 20-char windows — a glued
+        # "zz""cat" here would be ONE real token ("zzcat") and the
+        # fragmenter would (correctly) refuse to split it.
+        "cat sat on the mat  " "zz filler no hit zz " "cat here and cat too",
         "no hits anywhere in this text at all, plain filler words only",
         "cat",
         "",

@@ -158,9 +158,10 @@ def test_span_within_endpoint_inclusive(spark, tiny_store):
 
 
 def test_span_containing_matches_same_docs(spark, tiny_store):
-    # on THIS corpus the doc sets coincide (every enclosing pair here is
-    # minimal); test_within_containing_score_streams pins the case where the
-    # streams diverge
+    # span_within and span_containing both test containment against the big
+    # stream's EMITTED spans, so they match the SAME document set (Lucene
+    # SpanWithinQuery / SpanContainingQuery); they differ only in which
+    # stream is scored — test_within_containing_score_streams pins that
     w = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2))
     c = _hits(spark, tiny_store, _within_qd("beta", ["alpha", "gamma"], 2, "span_containing"))
     assert w == c
@@ -489,9 +490,12 @@ def test_unordered_arity3_validations(spark, tiny_store):
 
 def test_within_containing_score_streams(spark, tmp_path_factory):
     # span_within scores the little stream (count of enclosed occurrences);
-    # span_containing scores the big stream (sum 1/(1+slop) over minimal big
-    # spans containing a little). doc1 pins the stream asymmetry: beta is
-    # enclosed by SOME alpha..gamma pair, but no MINIMAL big span contains it.
+    # span_containing scores the big stream (sum 1/(1+slop) over EMITTED big
+    # spans containing a little). Containment is tested against the big
+    # stream's emitted (per-start greedy) spans on both sides, so the two
+    # queries match the SAME document set — Lucene SpanWithinQuery /
+    # SpanContainingQuery behavior. doc1 pins it: beta sits inside the
+    # non-greedy alpha..gamma pair [0,3], which is never emitted.
     import datetime
 
     texts = {
@@ -528,11 +532,13 @@ def test_within_containing_score_streams(spark, tmp_path_factory):
         }
 
     for kind, freqs in [
-        # within: doc0 one enclosed beta; doc1 beta enclosed by [0,3];
-        # doc2 two enclosed betas
-        ("span_within", {0: 1.0, 1: 1.0, 2: 2.0}),
-        # containing: doc0 [0,2] slop 1 -> 0.5; doc1 minimal span [0,1]
-        # misses beta; doc2 [0,2]+[3,5] -> 1.0
+        # EMITTED big spans (per-start greedy): doc0 [0,2]; doc1 [0,1] only
+        # (the non-greedy [0,3] is never emitted, so doc1's beta@2 is NOT
+        # enclosed — Lucene SpanWithin/SpanContaining match the SAME docs);
+        # doc2 [0,2]+[3,5]; doc3 [1,2]
+        # within: enclosed betas — doc0 one, doc2 two
+        ("span_within", {0: 1.0, 2: 2.0}),
+        # containing: emitted spans holding a beta at 1/(1+slop) each
         ("span_containing", {0: 0.5, 2: 1.0}),
     ]:
         # weight = idf(little) + idfs of the big chain's terms
@@ -599,3 +605,157 @@ def test_duplicate_term_pair_overlapping_sets(spark, tmp_path_factory):
     gi = {r.turn_idx: round(r.score, 4)
           for r in topk.search_indexed(spark, store, qd, k=100).collect()}
     assert gl == want and gi == want, (gl, gi)
+
+
+def brute_span_stream_freq(text, terms, slop, ordered, gaps=None):
+    """Literal simulation of Lucene's span emission, independent of the
+    engine's vectorized forms. Ordered: NearSpansOrdered — for each lead
+    occurrence, stretchToOrder picks the earliest later occurrence per step
+    (subspans never move backward; the greedy chain per lead IS the emitted
+    span), matchWidth = sum of inter-span gaps, emitted iff <= slop, sloppy
+    factor 1/(1 + matchWidth). Unordered: NearSpansUnordered — min-advance
+    walk over one cursor per subspan; every visited configuration with
+    maxEnd - minStart - totalSpanLength <= slop emits, and width() is
+    START-TO-START, so the factor is 1/(1 + maxStart - minStart)."""
+    toks = text.split()
+    occ = [[i for i, tk in enumerate(toks) if tk == q] for q in terms]
+    if any(not o for o in occ):
+        return None
+    m = len(terms)
+    freq = 0.0
+    if ordered:
+        g = gaps or [0] * (m - 1)
+        for p in occ[0]:
+            cur, ok = p, True
+            for i in range(1, m):
+                nxt = [x for x in occ[i] if x > cur + g[i - 1]]
+                if not nxt:
+                    ok = False
+                    break
+                cur = min(nxt)
+            if ok:
+                s = cur - p - (m - 1) - sum(g)
+                if s <= slop:
+                    freq += 1.0 / (1 + s)
+    else:
+        idx = [0] * m
+        while True:
+            starts = [occ[i][idx[i]] for i in range(m)]
+            mn, mx = min(starts), max(starts)
+            if mx - mn - (m - 1) <= slop:
+                freq += 1.0 / (1 + mx - mn)
+            lab = starts.index(mn)
+            idx[lab] += 1
+            if idx[lab] >= len(occ[lab]):
+                break
+    return freq if freq > 0 else None
+
+
+def _stream_corpus(spark, tmp_path_factory, texts, name):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("c0", i, "user", t, "", datetime.datetime(2024, 1, 1))
+         for i, t in texts.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp(name))
+    store = index_build.build_index(spark, df, root, n_slices=1, partitions=2)
+    return df, store
+
+
+def test_ordered_span_stream_no_minimization(spark, tmp_path_factory):
+    # the advisor's canonical case: 'a a b' under near(a, b) emits BOTH
+    # per-lead chains (a@0 width 1 -> 0.5, a@1 width 0 -> 1.0) = 1.5;
+    # the intervals query on the same doc keeps only the minimal [1,2] = 1.0
+    texts = {0: "a a b", 1: "a b", 2: "a a a b", 3: "a x a b y b",
+             4: "b a a b a b", 5: "a x x b a b"}
+    df, store = _stream_corpus(spark, tmp_path_factory, texts, "ostream")
+    for slop in (0, 1, 2, 4):
+        qd = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "a"}},
+                    {"span_term": {"text": "b"}},
+                ],
+                "slop": slop,
+                "in_order": True,
+            }
+        }
+        want = bm25_wrap(texts, ["a", "b"], {
+            i: s
+            for i, t in texts.items()
+            if (s := brute_span_stream_freq(t, ["a", "b"], slop, True))
+            is not None
+        })
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (slop, want, gl, gi)
+    # the intervals twin on doc0 keeps minimal-interval algebra
+    iq = {"intervals": {"text": {"match": {"query": "a b", "ordered": True}}}}
+    gi = {r.turn_idx: round(r.score, 4)
+          for r in topk.search_indexed(spark, store, iq, k=100).collect()}
+    assert gi[0] == bm25_wrap(texts, ["a", "b"], {0: 1.0})[0]
+
+
+def test_unordered_span_stream_walk(spark, tmp_path_factory):
+    # NearSpansUnordered min-advance walk: every visited configuration
+    # emits at 1/(1 + start-to-start width) — adjacent pair scores 0.5 (not
+    # 1.0: width() is start-to-start, Lucene's ordered/unordered asymmetry)
+    texts = {0: "a b", 1: "b a", 2: "a a b", 3: "b x a y a b",
+             4: "a b a", 5: "c c c", 6: "a x b a b a"}
+    df, store = _stream_corpus(spark, tmp_path_factory, texts, "ustream")
+    for slop in (1, 2, 4):
+        qd = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "a"}},
+                    {"span_term": {"text": "b"}},
+                ],
+                "slop": slop,
+                "in_order": False,
+            }
+        }
+        want = bm25_wrap(texts, ["a", "b"], {
+            i: s
+            for i, t in texts.items()
+            if (s := brute_span_stream_freq(t, ["a", "b"], slop, False))
+            is not None
+        })
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (slop, want, gl, gi)
+
+
+def test_unordered_span_stream_arity3(spark, tmp_path_factory):
+    texts = {0: "a b c", 1: "c b a", 2: "a b x c a", 3: "b a c b a c",
+             4: "a a b c c", 5: "c x x a b"}
+    df, store = _stream_corpus(spark, tmp_path_factory, texts, "ustream3")
+    for slop in (0, 1, 3, 6):
+        qd = {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "a"}},
+                    {"span_term": {"text": "b"}},
+                    {"span_term": {"text": "c"}},
+                ],
+                "slop": slop,
+                "in_order": False,
+            }
+        }
+        want = bm25_wrap(texts, ["a", "b", "c"], {
+            i: s
+            for i, t in texts.items()
+            if (s := brute_span_stream_freq(t, ["a", "b", "c"], slop, False))
+            is not None
+        })
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (slop, want, gl, gi)
