@@ -759,3 +759,44 @@ def test_unordered_span_stream_arity3(spark, tmp_path_factory):
         gi = {r.turn_idx: round(r.score, 4)
               for r in topk.search_indexed(spark, store, qd, k=100).collect()}
         assert gl == want and gi == want, (slop, want, gl, gi)
+
+
+def test_span_stream_fuzz(spark, tmp_path_factory):
+    # random short texts over a 4-term alphabet vs the literal walk
+    # simulator (brute_span_stream_freq) on BOTH engine paths, ordered and
+    # unordered, several slops — pins the per-start stream on shapes no
+    # hand-crafted corpus anticipates (repeated leads, runs, exhaustion
+    # edges). Seeded: deterministic across runs.
+    import random
+
+    rng = random.Random(20260819)
+    words = ["a", "b", "c", "d"]
+    texts = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        for i in range(40)
+    }
+    df, store = _stream_corpus(spark, tmp_path_factory, texts, "szfuzz")
+    cases = []
+    for _ in range(10):
+        n = rng.randint(2, 3)
+        terms = rng.sample(words, n)
+        cases.append((terms, rng.randint(0, 5), rng.random() < 0.5))
+    for terms, slop, in_order in cases:
+        qd = {
+            "span_near": {
+                "clauses": [{"span_term": {"text": t}} for t in terms],
+                "slop": slop,
+                "in_order": in_order,
+            }
+        }
+        want = bm25_wrap(texts, terms, {
+            i: s
+            for i, t in texts.items()
+            if (s := brute_span_stream_freq(t, terms, slop, in_order))
+            is not None
+        })
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == want and gi == want, (terms, slop, in_order)
