@@ -405,3 +405,57 @@ class TestScriptSortNulls:
 
     def test_desc_nulls_agree(self, spark, sf_dir):
         self._compare(spark, sf_dir, "desc")
+
+
+class TestFragmenterFuzz:
+    """Random-text property fuzz for the token-boundary fragmenter: on any
+    text, (a) every query-term occurrence is tagged in exactly one kept
+    fragment (none lost to a window edge, none split), (b) stripping tags
+    and joining fragments in position order reproduces a subsequence of
+    contiguous windows of the original text, (c) the engine expr and the
+    DuckDB twin agree byte-for-byte."""
+
+    def test_random_texts(self, spark):
+        import random
+        import re
+
+        import duckdb
+
+        from elasticsearch_spark.functions import highlight as H
+
+        rng = random.Random(52)
+        words = ["cat", "dog", "x", "yy", "zzz", "catalog", "concat", "a"]
+        texts = []
+        for _ in range(60):
+            n = rng.randint(0, 14)
+            sep = lambda: "" if rng.random() < 0.15 else " "  # noqa: E731
+            t = words[rng.randrange(len(words))] if n else ""
+            for _ in range(n):
+                t += sep() + rng.choice(words)
+            texts.append(t)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        opts = dict(fragment_size=11, number_of_fragments=100, pre="[", post="]")
+        got = {
+            r.i: r.f
+            for r in df.select(
+                "i", H.highlight_fragments_expr("text", ["cat", "dog"], **opts).alias("f")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i int, text varchar)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+        sql = H.highlight_fragments_sql("text", ["cat", "dog"], **opts)
+        duck = dict(con.execute(f"SELECT i, {sql} FROM t").fetchall())
+        for i, t in enumerate(texts):
+            assert got[i] == duck[i], (t, got[i], duck[i])
+            frags = got[i].split(" … ") if got[i] else []
+            want = len(re.findall(r"\b(cat|dog)\b", t))
+            tagged = sum(f.count("[") for f in frags)
+            assert tagged == want, (t, got[i])
+            for f in frags:
+                assert f.count("[") == f.count("]")
+                raw = f.replace("[", "").replace("]", "")
+                # every fragment is a contiguous substring of the original
+                assert raw in t, (t, f)
