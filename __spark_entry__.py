@@ -113,6 +113,10 @@ R5_WINDOW = [
     "indexed_span_within_near", "indexed_span_containing_near",
     "indexed_span_field_masking", "indexed_span_near_multi",
     "indexed_span_not", "hand_span_near", "hand_span_unordered",
+    # intervals sources beyond `match` (any_of / all_of / prefix / wildcard)
+    "search_intervals_any_of", "indexed_intervals_any_of",
+    "search_intervals_all_of_mixed", "indexed_intervals_all_of_mixed",
+    "search_intervals_wildcard", "indexed_intervals_wildcard",
     # -- (c) regression rotation: high-traffic shapes from rounds 1-2
     "search_match_or_topk", "indexed_match_or_topk",
     "search_match_and_topk", "indexed_match_and_topk",

@@ -381,6 +381,10 @@ def expand_terms(
             d = d.where(F.col("term").rlike(analysis.wildcard_regex(value)))
         elif kind == "regexp":
             d = d.where(F.col("term").rlike(f"^{value}$"))
+        elif kind == "anchored_regex":
+            # caller supplies an already-anchored regex (canonical intervals
+            # wildcard steps carry analysis.wildcard_regex output verbatim)
+            d = d.where(F.col("term").rlike(value))
         elif kind == "fuzzy":
             val, fz = value
             d = d.where(F.levenshtein(F.col("term"), F.lit(val)) <= fz)
@@ -883,11 +887,22 @@ class _Lowerer:
                     if isinstance(st, str):
                         qterms.append(st)
                         continue
-                    if set(st) != {"prefix"}:
+                    if set(st) == {"any"}:
+                        # Intervals.or over single terms: the position
+                        # accepts any member — tuple step, no expansion job
+                        qterms.append(tuple(t.lower() for t in st["any"]))
+                        continue
+                    if set(st) == {"prefix"}:
+                        ekind, eval_ = "prefix", st["prefix"]
+                    elif set(st) == {"pattern"}:
+                        # Intervals.wildcard — the canonical step carries the
+                        # shared anchored-regex translation already
+                        ekind, eval_ = "anchored_regex", st["pattern"]
+                    else:
                         raise ValueError(f"unsupported intervals step: {st}")
                     exps = expand_terms(
-                        self.spark, self.store, self.snap, field_, "prefix",
-                        st["prefix"],
+                        self.spark, self.store, self.snap, field_, ekind,
+                        eval_,
                         max_clause_count=INTERVALS_MAX_EXPANSIONS,
                     )
                     if not exps:

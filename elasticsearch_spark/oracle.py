@@ -324,11 +324,19 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
         raise ValueError("gaps (span_gap) need a plain ordered chain")
 
     def pos(term, src_field=field) -> str:
-        # 0-based positions (1-based index i over the token list); a
-        # {"prefix": v} step accepts any token with the prefix
+        # 0-based positions (1-based index i over the token list); composite
+        # steps accept any token matching: {"prefix": v} (span_multi /
+        # Intervals.prefix), {"pattern": re} (Intervals.wildcard, anchored
+        # regex shared with the engine), {"any": [terms]} (Intervals.or)
         col = tok_col[src_field]
         if isinstance(term, dict):
-            cond = f"starts_with({col}[i], {_sql_str(term['prefix'])})"
+            if "prefix" in term:
+                cond = f"starts_with({col}[i], {_sql_str(term['prefix'])})"
+            elif "pattern" in term:
+                cond = f"regexp_matches({col}[i], {_sql_str(term['pattern'])})"
+            else:
+                lits = ", ".join(_sql_str(t) for t in term["any"])
+                cond = f"list_contains([{lits}], {col}[i])"
         else:
             cond = f"{col}[i] = {_sql_str(term)}"
         return (

@@ -105,6 +105,16 @@ def normalize_query(q: dict) -> dict:
         "span_within", "span_containing",
     ):
         return normalize_query(_rewrite_span(kind, body))
+    if kind == "intervals":
+        # IntervalsSourceProvider family (reg SearchModule.java:841; sources
+        # match / prefix / wildcard / any_of / all_of): non-`match` sources
+        # canonicalize to the match-source `steps` form here so the logical
+        # compiler, the indexed lowering, and the oracle share ONE rewrite.
+        (ifield, ispec), = body.items()
+        (sk, _), = ispec.items()
+        if sk == "match":
+            return q
+        return {"intervals": {ifield: {"match": _intervals_source(ispec)}}}
     if kind == "field_masking_span":
         # FieldMaskingSpanQueryBuilder (reg SearchModule.java:807): at the
         # top level the mask only changes which field downstream span algebra
@@ -187,6 +197,77 @@ def _span_terms(clause: dict) -> tuple[str, list[str]]:
             raise ValueError("span_or clauses must share one field")
         return fields.pop(), terms
     raise ValueError(f"span clause {k} unsupported here")
+
+
+def _intervals_source_step(src: dict) -> tuple[object, str]:
+    """One SINGLE-POSITION canonical step from an intervals source node:
+    a concrete term (str), {"prefix": v} (Intervals.prefix — any term with
+    the prefix fills the position), {"pattern": anchored-regex}
+    (Intervals.wildcard via the shared analysis.wildcard_regex translation),
+    or {"any": [terms]} (Intervals.or over single terms). Returns
+    (step, display). Multi-position sources nested inside all_of/any_of
+    (multi-term match children, nested all_of) are genuinely nested interval
+    algebra — unsupported, raised loudly."""
+    (sk, sb), = src.items()
+    if sk == "match":
+        terms = analysis.analyze(sb["query"] if isinstance(sb, dict) else sb)
+        if len(terms) != 1:
+            raise ValueError(
+                "intervals all_of/any_of children support single-term match "
+                f"sources (got {len(terms)} terms)"
+            )
+        return terms[0], terms[0]
+    if sk == "prefix":
+        v = str(sb["prefix"] if isinstance(sb, dict) else sb).lower()
+        return {"prefix": v}, v + "*"
+    if sk == "wildcard":
+        p = str(sb["pattern"] if isinstance(sb, dict) else sb).lower()
+        return {"pattern": analysis.wildcard_regex(p)}, p
+    if sk == "any_of":
+        terms = []
+        for child in sb["intervals"]:
+            st, _ = _intervals_source_step(child)
+            if not isinstance(st, str):
+                raise ValueError(
+                    "intervals any_of supports single-term match children"
+                )
+            terms.append(st)
+        if not terms:
+            raise ValueError("intervals any_of needs at least one child")
+        return {"any": terms}, "(" + "|".join(terms) + ")"
+    raise ValueError(f"unsupported intervals source: {sk}")
+
+
+def _intervals_source(spec: dict) -> dict:
+    """Canonical match-source for a non-`match` intervals source
+    (IntervalsSourceProvider: prefix / wildcard / any_of / all_of). all_of
+    maps its single-position children onto the `steps` chain with its own
+    ordered/max_gaps; a standalone prefix/wildcard/any_of becomes a
+    single-step source (each surviving occurrence a width-0 interval).
+    Interval filter rules (filter: containing/not_containing/...) are out
+    of scope and raise."""
+    (sk, sb), = spec.items()
+    if isinstance(sb, dict) and sb.get("filter"):
+        raise ValueError("intervals source filters are unsupported")
+    if sk == "all_of":
+        steps, disp = [], []
+        for child in sb["intervals"]:
+            if isinstance(child, dict) and len(child) == 1 \
+                    and next(iter(child)) != "match" \
+                    and isinstance(next(iter(child.values())), dict) \
+                    and next(iter(child.values())).get("filter"):
+                raise ValueError("intervals source filters are unsupported")
+            st, d = _intervals_source_step(child)
+            steps.append(st)
+            disp.append(d)
+        return {
+            "query": " ".join(disp),
+            "steps": steps,
+            "ordered": bool(sb.get("ordered", False)),
+            "max_gaps": int(sb.get("max_gaps", -1)),
+        }
+    st, d = _intervals_source_step(spec)
+    return {"query": d, "steps": [st]}
 
 
 def _rewrite_span(kind: str, body: dict) -> dict:
@@ -936,9 +1017,17 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
     )
 
     def positions(t, src_field=field):
-        # 0-based token positions of term t (or of any prefix-matching token)
+        # 0-based token positions of term t — or of any token matching a
+        # composite step: {"prefix"} (span_multi / Intervals.prefix),
+        # {"pattern"} (Intervals.wildcard, anchored regex), {"any"}
+        # (Intervals.or over single terms)
         if isinstance(t, dict):
-            tok_ok = lambda tok: tok.startswith(t["prefix"])  # noqa: E731
+            if "prefix" in t:
+                tok_ok = lambda tok: tok.startswith(t["prefix"])  # noqa: E731
+            elif "pattern" in t:
+                tok_ok = lambda tok: tok.rlike(t["pattern"])  # noqa: E731
+            else:
+                tok_ok = lambda tok: tok.isin(t["any"])  # noqa: E731
         else:
             tok_ok = lambda tok: tok == F.lit(t)  # noqa: E731
         col = tok_col[src_field]

@@ -236,6 +236,51 @@ INTERVALS_QUERIES: dict[str, dict] = {
     "intervals_unordered3": {
         "intervals": {"text": {"match": {"query": "join table merge", "max_gaps": 6}}}
     },
+    # round 5 — IntervalsSourceProvider sources beyond `match`
+    # (reg SearchModule.java:841), canonicalized in normalize_query so all
+    # three twins share one rewrite:
+    # any_of over single terms — union occurrence stream, width-0 intervals
+    "intervals_any_of": {
+        "intervals": {
+            "text": {
+                "any_of": {
+                    "intervals": [
+                        {"match": {"query": "scan"}},
+                        {"match": {"query": "merge"}},
+                        {"match": {"query": "sort"}},
+                    ]
+                }
+            }
+        }
+    },
+    # all_of ordered chain mixing a concrete term, an any_of position, and
+    # a dictionary-expanded prefix position
+    "intervals_all_of_mixed": {
+        "intervals": {
+            "text": {
+                "all_of": {
+                    "ordered": True,
+                    "max_gaps": 4,
+                    "intervals": [
+                        {"match": {"query": "join"}},
+                        {
+                            "any_of": {
+                                "intervals": [
+                                    {"match": {"query": "hash"}},
+                                    {"match": {"query": "merge"}},
+                                ]
+                            }
+                        },
+                        {"prefix": {"prefix": "ta"}},
+                    ],
+                }
+            }
+        }
+    },
+    # standalone wildcard source — anchored-regex token match
+    "intervals_wildcard": {
+        "intervals": {"text": {"wildcard": {"pattern": "ta*e"}}}
+    },
 }
 
 # span family (Span*QueryBuilder.java reg SearchModule.java:803-813), rewritten

@@ -350,7 +350,9 @@ def bm25_wrap(texts, weight_terms, freqs):
     toks = {i: t.split() for i, t in texts.items()}
     n = len(texts)
     avg = sum(len(tk) for tk in toks.values()) / n
-    w = 0.0
+    # all-composite-step queries (expansion/any/prefix positions only) fall
+    # back to weight 1.0, mirroring the engine twins
+    w = 0.0 if weight_terms else 1.0
     for t in set(weight_terms):
         df = sum(1 for tk in toks.values() if t in tk)
         w += math.log(1 + (n - df + 0.5) / (df + 0.5))
@@ -800,3 +802,93 @@ def test_span_stream_fuzz(spark, tmp_path_factory):
         gi = {r.turn_idx: round(r.score, 4)
               for r in topk.search_indexed(spark, store, qd, k=100).collect()}
         assert gl == want and gi == want, (terms, slop, in_order)
+
+
+class TestIntervalsSources:
+    """IntervalsSourceProvider sources beyond `match` (reg
+    SearchModule.java:841): any_of / all_of / prefix / wildcard canonicalize
+    in normalize_query onto the steps machinery; unsupported nesting raises
+    on every path."""
+
+    TEXTS = {
+        0: "join hash table now",      # join..(hash|merge)..ta* gaps 0
+        1: "join merge x table",       # any_of via merge, one gap
+        2: "join table",               # no middle term
+        3: "merge take",               # any_of alone; take matches ta*
+        4: "scan it",                  # any_of(scan,merge,sort) once
+        5: "sort scan sort",           # three any_of occurrences
+        6: "table tale tile",          # ta*e wildcard: table, tale (not tile)
+    }
+
+    def _store(self, spark, tmp_path_factory):
+        return _stream_corpus(spark, tmp_path_factory, self.TEXTS, "isrc")
+
+    def _scores(self, spark, df, store, qd):
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == gi, (gl, gi)
+        return gl
+
+    def test_any_of_counts_union_occurrences(self, spark, tmp_path_factory):
+        df, store = self._store(spark, tmp_path_factory)
+        qd = {"intervals": {"text": {"any_of": {"intervals": [
+            {"match": {"query": "scan"}}, {"match": {"query": "merge"}},
+            {"match": {"query": "sort"}}]}}}}
+        # width-0 intervals, occurrence counts; composite steps carry no idf
+        # (weight 1.0 like other expansion steps)
+        got = self._scores(spark, df, store, qd)
+        want = bm25_wrap(self.TEXTS, [], {1: 1.0, 3: 1.0, 4: 1.0, 5: 3.0})
+        assert got == want, (got, want)
+
+    def test_all_of_mixed_chain(self, spark, tmp_path_factory):
+        df, store = self._store(spark, tmp_path_factory)
+        qd = {"intervals": {"text": {"all_of": {
+            "ordered": True, "max_gaps": 2,
+            "intervals": [
+                {"match": {"query": "join"}},
+                {"any_of": {"intervals": [{"match": {"query": "hash"}},
+                                          {"match": {"query": "merge"}}]}},
+                {"prefix": {"prefix": "ta"}},
+            ]}}}}
+        # doc0 join@0 hash@1 table@2 slop 0 -> 1.0; doc1 join@0 merge@1
+        # table@3 slop 1 -> 0.5; doc2 no middle; weight = idf('join') only
+        got = self._scores(spark, df, store, qd)
+        want = bm25_wrap(self.TEXTS, ["join"], {0: 1.0, 1: 0.5})
+        assert got == want, (got, want)
+
+    def test_wildcard_source(self, spark, tmp_path_factory):
+        df, store = self._store(spark, tmp_path_factory)
+        qd = {"intervals": {"text": {"wildcard": {"pattern": "ta*e"}}}}
+        # 'ta*e' matches table (docs 0,1,2,6), take (doc3), tale (doc6) —
+        # NOT tile; doc6 counts two occurrences
+        got = self._scores(spark, df, store, qd)
+        want = bm25_wrap(self.TEXTS, [], {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 6: 2.0})
+        assert got == want, (got, want)
+
+    def test_unsupported_sources_raise_everywhere(self, spark, tmp_path_factory):
+        from elasticsearch_spark import oracle
+
+        df, _ = self._store(spark, tmp_path_factory)
+        bad = [
+            # fuzzy source unsupported
+            {"intervals": {"text": {"fuzzy": {"term": "joni"}}}},
+            # nested all_of (multi-position child)
+            {"intervals": {"text": {"all_of": {"intervals": [
+                {"match": {"query": "join"}},
+                {"all_of": {"intervals": [{"match": {"query": "a"}}]}}]}}}},
+            # multi-term match child
+            {"intervals": {"text": {"all_of": {"intervals": [
+                {"match": {"query": "join table"}},
+                {"match": {"query": "hash"}}]}}}},
+            # filter rules out of scope
+            {"intervals": {"text": {"all_of": {
+                "intervals": [{"match": {"query": "join"}}],
+                "filter": {"containing": {"match": {"query": "x"}}}}}}},
+        ]
+        for qd in bad:
+            with pytest.raises(ValueError):
+                Q.normalize_query(qd)
+            with pytest.raises(ValueError):
+                oracle.search_sql(qd)
