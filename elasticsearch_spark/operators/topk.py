@@ -898,6 +898,13 @@ class _Lowerer:
                         # Intervals.wildcard — the canonical step carries the
                         # shared anchored-regex translation already
                         ekind, eval_ = "anchored_regex", st["pattern"]
+                    elif set(st) == {"fuzzy"}:
+                        # Intervals.fuzzy — AUTO already resolved to an edit
+                        # count at canonicalization; raises past the 128-term
+                        # cap like prefix steps (documented divergence from
+                        # FuzzyQuery's silent 50-term truncation: a silent
+                        # cap would diverge from the logical/oracle twins)
+                        ekind, eval_ = "fuzzy", tuple(st["fuzzy"])
                     else:
                         raise ValueError(f"unsupported intervals step: {st}")
                     exps = expand_terms(

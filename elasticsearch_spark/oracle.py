@@ -334,6 +334,9 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
                 cond = f"starts_with({col}[i], {_sql_str(term['prefix'])})"
             elif "pattern" in term:
                 cond = f"regexp_matches({col}[i], {_sql_str(term['pattern'])})"
+            elif "fuzzy" in term:
+                fv, fk = term["fuzzy"]
+                cond = f"levenshtein({col}[i], {_sql_str(fv)}) <= {fk}"
             else:
                 lits = ", ".join(_sql_str(t) for t in term["any"])
                 cond = f"list_contains([{lits}], {col}[i])"

@@ -204,7 +204,10 @@ def _intervals_source_step(src: dict) -> tuple[object, str]:
     a concrete term (str), {"prefix": v} (Intervals.prefix — any term with
     the prefix fills the position), {"pattern": anchored-regex}
     (Intervals.wildcard via the shared analysis.wildcard_regex translation),
-    or {"any": [terms]} (Intervals.or over single terms). Returns
+    {"fuzzy": [term, max_edits]} (Intervals.fuzzy; Fuzziness.AUTO resolved
+    here — 0/1/2 edits at term lengths <3 / <6 / >=6 — and 0-edit fuzz
+    degenerates to the concrete term), or {"any": [terms]} (Intervals.or
+    over single terms). Returns
     (step, display). Multi-position sources nested inside all_of/any_of
     (multi-term match children, nested all_of) are genuinely nested interval
     algebra — unsupported, raised loudly."""
@@ -223,6 +226,18 @@ def _intervals_source_step(src: dict) -> tuple[object, str]:
     if sk == "wildcard":
         p = str(sb["pattern"] if isinstance(sb, dict) else sb).lower()
         return {"pattern": analysis.wildcard_regex(p)}, p
+    if sk == "fuzzy":
+        t = str(sb["term"] if isinstance(sb, dict) else sb).lower()
+        raw = sb.get("fuzziness", "AUTO") if isinstance(sb, dict) else "AUTO"
+        if isinstance(raw, str) and raw.upper() == "AUTO":
+            # Fuzziness.AUTO (Fuzziness.java): 0 edits under 3 chars,
+            # 1 for 3-5, 2 from 6 up
+            k = 0 if len(t) < 3 else (1 if len(t) < 6 else 2)
+        else:
+            k = int(raw)
+        if k == 0:
+            return t, t
+        return {"fuzzy": [t, k]}, f"{t}~{k}"
     if sk == "any_of":
         terms = []
         for child in sb["intervals"]:
@@ -242,7 +257,7 @@ def _intervals_source(spec: dict) -> dict:
     """Canonical match-source for a non-`match` intervals source
     (IntervalsSourceProvider: prefix / wildcard / any_of / all_of). all_of
     maps its single-position children onto the `steps` chain with its own
-    ordered/max_gaps; a standalone prefix/wildcard/any_of becomes a
+    ordered/max_gaps; a standalone prefix/wildcard/fuzzy/any_of becomes a
     single-step source (each surviving occurrence a width-0 interval).
     Interval filter rules (filter: containing/not_containing/...) are out
     of scope and raise."""
@@ -1026,6 +1041,9 @@ def _intervals(ctx: _Ctx, body: dict) -> Compiled:
                 tok_ok = lambda tok: tok.startswith(t["prefix"])  # noqa: E731
             elif "pattern" in t:
                 tok_ok = lambda tok: tok.rlike(t["pattern"])  # noqa: E731
+            elif "fuzzy" in t:
+                fv, fk = t["fuzzy"]
+                tok_ok = lambda tok: F.levenshtein(tok, F.lit(fv)) <= fk  # noqa: E731
             else:
                 tok_ok = lambda tok: tok.isin(t["any"])  # noqa: E731
         else:

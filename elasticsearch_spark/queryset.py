@@ -281,6 +281,10 @@ INTERVALS_QUERIES: dict[str, dict] = {
     "intervals_wildcard": {
         "intervals": {"text": {"wildcard": {"pattern": "ta*e"}}}
     },
+    # standalone fuzzy source — Fuzziness.AUTO resolves to 1 edit at len 5
+    "intervals_fuzzy": {
+        "intervals": {"text": {"fuzzy": {"term": "joins"}}}
+    },
 }
 
 # span family (Span*QueryBuilder.java reg SearchModule.java:803-813), rewritten

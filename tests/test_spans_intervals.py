@@ -867,13 +867,24 @@ class TestIntervalsSources:
         want = bm25_wrap(self.TEXTS, [], {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 6: 2.0})
         assert got == want, (got, want)
 
+    def test_fuzzy_source(self, spark, tmp_path_factory):
+        df, store = self._store(spark, tmp_path_factory)
+        # 'joim'~AUTO -> 1 edit at length 4: matches 'join' (docs 0,1,2)
+        qd = {"intervals": {"text": {"fuzzy": {"term": "joim"}}}}
+        got = self._scores(spark, df, store, qd)
+        want = bm25_wrap(self.TEXTS, [], {0: 1.0, 1: 1.0, 2: 1.0})
+        assert got == want, (got, want)
+        # explicit fuzziness 0 degenerates to the concrete term (idf-weighted)
+        qd0 = {"intervals": {"text": {"fuzzy": {"term": "join", "fuzziness": 0}}}}
+        got0 = self._scores(spark, df, store, qd0)
+        want0 = bm25_wrap(self.TEXTS, ["join"], {0: 1.0, 1: 1.0, 2: 1.0})
+        assert got0 == want0, (got0, want0)
+
     def test_unsupported_sources_raise_everywhere(self, spark, tmp_path_factory):
         from elasticsearch_spark import oracle
 
         df, _ = self._store(spark, tmp_path_factory)
         bad = [
-            # fuzzy source unsupported
-            {"intervals": {"text": {"fuzzy": {"term": "joni"}}}},
             # nested all_of (multi-position child)
             {"intervals": {"text": {"all_of": {"intervals": [
                 {"match": {"query": "join"}},
