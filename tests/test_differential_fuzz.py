@@ -51,8 +51,41 @@ def duck(sf_dir):
 def _gen_leaf(rng: random.Random, vocab: list[str]) -> dict:
     kind = rng.choice(
         ["match", "match", "match", "match_phrase", "term", "range", "exists",
-         "prefix", "span_near", "span_first"]
+         "prefix", "span_near", "span_first", "intervals_src"]
     )
+    if kind == "intervals_src":
+        # IntervalsSourceProvider sources beyond match: any_of over single
+        # terms, all_of ordered/unordered chains mixing concrete / any_of /
+        # prefix / fuzzy steps, standalone prefix/wildcard/fuzzy
+        def child():
+            r = rng.random()
+            if r < 0.45:
+                return {"match": {"query": rng.choice(vocab)}}
+            if r < 0.65:
+                return {"any_of": {"intervals": [
+                    {"match": {"query": t}} for t in rng.sample(vocab, 2)]}}
+            if r < 0.85:
+                return {"prefix": {"prefix": rng.choice(vocab)[:2]}}
+            return {"fuzzy": {"term": rng.choice(vocab),
+                              "fuzziness": rng.randint(1, 2)}}
+
+        r = rng.random()
+        if r < 0.6:
+            src = {"all_of": {
+                "ordered": rng.random() < 0.6,
+                "max_gaps": rng.randint(0, 6),
+                "intervals": [child() for _ in range(2)],
+            }}
+            # unordered non-plain pairs are allowed; unordered arity>2 with
+            # composite steps raises, so keep all_of at arity 2
+        elif r < 0.75:
+            src = {"any_of": {"intervals": [
+                {"match": {"query": t}} for t in rng.sample(vocab, rng.randint(2, 3))]}}
+        elif r < 0.9:
+            src = {"prefix": {"prefix": rng.choice(vocab)[:2]}}
+        else:
+            src = {"wildcard": {"pattern": rng.choice(vocab)[:2] + "*"}}
+        return {"intervals": {"text": src}}
     if kind == "span_near":
         # ordered any arity; unordered pairs incl. the non-plain shapes
         # (masked / prefix-expanded / duplicate-term — the per-end
