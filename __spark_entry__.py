@@ -118,6 +118,7 @@ R5_WINDOW = [
     "search_intervals_all_of_mixed", "indexed_intervals_all_of_mixed",
     "search_intervals_wildcard", "indexed_intervals_wildcard",
     "search_intervals_fuzzy", "indexed_intervals_fuzzy",
+    "hand_intervals_unordered",
     # -- (c) regression rotation: high-traffic shapes from rounds 1-2
     "search_match_or_topk", "indexed_match_or_topk",
     "search_match_and_topk", "indexed_match_and_topk",

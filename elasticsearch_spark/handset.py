@@ -26,7 +26,16 @@ hand with different algebra and query structure:
     two constructions provably enumerate the same span stream, so agreement
     pins the SpanScorer sloppyFreq summation. The freq then goes through
     the hand-written BM25 (SpanWeight feeds sloppyFreq to SimScorer.score;
-    weight = sum of concrete-term idfs).
+    weight = sum of concrete-term idfs),
+  * span_near UNORDERED per-start stream derived per-LABEL (each
+    occurrence of either term windows to the other term's closest
+    occurrence >= it, factor 1/(1 + start-to-start) — Lucene's
+    NearSpansUnordered.width() asymmetry) vs the generated oracle's merged
+    UNION-ALL stream with window functions,
+  * intervals minimal-interval freq derived by BRUTE containment
+    minimization over the full cross product of occurrence pairs (packed
+    int windows, quadratic list filters) vs the generated oracle's
+    last-seen-per-label window-function stream.
 Only the data derivation (transcripts view) and the analyzer's token regex
 are shared — they define the input contract, not the scoring semantics.
 """
@@ -94,6 +103,9 @@ HAND_QUERIES: dict[str, dict] = {
             "slop": 3,
             "in_order": False,
         }
+    },
+    "hand_intervals_unordered": {
+        "intervals": {"text": {"match": {"query": "merge sort", "max_gaps": 4}}}
     },
 }
 
@@ -286,6 +298,56 @@ SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
 ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
 
 
+def _intervals_unordered_pair_sql(t1: str, t2: str, mg: int) -> str:
+    # IntervalQuery minimal-interval freq for an unordered pair, derived by
+    # BRUTE containment minimization (the generated oracle walks a merged
+    # occurrence stream with window functions; the engine twins use
+    # last-seen-per-label scans): enumerate EVERY covering window from the
+    # p1 x p2 cross product, drop any window that strictly contains another,
+    # apply max_gaps AFTER minimization, freq = sum of 1/(1 + slop)
+    # = 1/(e - s) over the kept windows, then the hand BM25 with
+    # w = idf(t1) + idf(t2) (concrete interval terms carry idf).
+    # windows packed as s * 2^20 + e (positions are far below 2^20), so the
+    # brute cross product dedups with plain int list_distinct
+    wins = (
+        "list_distinct(flatten(list_transform(p1, p -> list_transform(p2, "
+        "q -> least(p, q) * 1048576 + greatest(p, q)))))"
+    )
+    minimal = (
+        "list_filter(wins, w -> len(list_filter(wins, w2 -> "
+        "w2 // 1048576 >= w // 1048576 AND w2 % 1048576 <= w % 1048576 AND "
+        "w2 != w)) = 0)"
+    )
+    return f"""{TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '{_RX}') AS toks
+        FROM transcripts),
+ps AS (SELECT conv_id, turn_idx, len(toks) AS dl,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t1}'), i -> i - 1) AS p1,
+              list_transform(list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] = '{t2}'), i -> i - 1) AS p2
+       FROM tok),
+g AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+             count(CASE WHEN len(p1) > 0 THEN 1 END) AS df1,
+             count(CASE WHEN len(p2) > 0 THEN 1 END) AS df2
+      FROM ps),
+wv AS (SELECT conv_id, turn_idx, dl, {wins} AS wins
+       FROM ps WHERE len(p1) > 0 AND len(p2) > 0),
+fr AS (SELECT conv_id, turn_idx, dl,
+              list_sum(list_transform(
+                list_filter({minimal},
+                  w -> (w % 1048576) - (w // 1048576) - 1 <= {mg}),
+                w -> 1.0 / ((w % 1048576) - (w // 1048576))
+              )) AS freq
+       FROM wv)
+SELECT conv_id, turn_idx, round(score, 4) AS score FROM (
+  SELECT conv_id, turn_idx,
+         {_bm25('freq', _idf('df1') + ' + ' + _idf('df2'))} AS score
+  FROM fr, g WHERE freq > 0)
+ORDER BY round(score, 6) DESC, conv_id, turn_idx LIMIT 10"""
+
+
 def _phrase_prefix_sql(lead: str, pref: str, max_exp: int) -> str:
     # match_phrase_prefix with a BINDING expansion cap, derived by hand with
     # different algebra than the generated oracle: the expansion set is the
@@ -329,6 +391,7 @@ HAND_ORACLE_SQL = {
     "hand_span_near": _span_near_pair_sql("hash", "join", 3),
     "hand_phrase_prefix": _phrase_prefix_sql("the", "s", 3),
     "hand_span_unordered": _span_unordered_pair_sql("scan", "filter", 3),
+    "hand_intervals_unordered": _intervals_unordered_pair_sql("merge", "sort", 4),
 }
 
 

@@ -459,3 +459,58 @@ class TestFragmenterFuzz:
                 raw = f.replace("[", "").replace("]", "")
                 # every fragment is a contiguous substring of the original
                 assert raw in t, (t, f)
+
+
+class TestPercolateScanArmAnyKind:
+    """The scan arm makes percolate closed over the whole query DSL: any
+    stored query the logical compiler can run — span/intervals/fuzzy/
+    phrase-prefix shapes with no extractable-term fast path — evaluates
+    exactly over the percolated batch (the MemoryIndex analog), alongside
+    term-join fast paths for the common kinds."""
+
+    def _docs(self, spark):
+        rows = [
+            ("c0", 0, "merge join hash table"),
+            ("c1", 0, "join the big table"),
+            ("c2", 0, "tablets are not tables"),
+            ("c3", 0, "nothing relevant"),
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    def test_span_intervals_fuzzy_stored(self, spark):
+        from elasticsearch_spark.operators import percolate as P
+
+        stored = {
+            "span": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "join"}},
+                        {"span_term": {"text": "table"}},
+                    ],
+                    "slop": 2,
+                    "in_order": True,
+                }
+            },
+            "ivl": {
+                "intervals": {
+                    "text": {"any_of": {"intervals": [
+                        {"match": {"query": "hash"}},
+                        {"match": {"query": "tablets"}},
+                    ]}}
+                }
+            },
+            "fz": {"fuzzy": {"text": {"value": "tible", "fuzziness": 1}}},
+        }
+        got = sorted(
+            (r.conv_id, r.query_id)
+            for r in P.percolate(self._docs(spark), stored).collect()
+        )
+        # span: c0 (join@1..table@3 slop 1), c1 (slop 2); c2 has no 'table'
+        # token ('tables'); ivl: c0 hash, c2 tablets; fz: 'tible'~1 matches
+        # 'table' in c0/c1 (not 'tables', distance 2)
+        assert got == [
+            ("c0", "fz"), ("c0", "ivl"), ("c0", "span"),
+            ("c1", "fz"), ("c1", "span"), ("c2", "ivl"),
+        ], got
