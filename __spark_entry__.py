@@ -119,6 +119,9 @@ R5_WINDOW = [
     "search_intervals_wildcard", "indexed_intervals_wildcard",
     "search_intervals_fuzzy", "indexed_intervals_fuzzy",
     "hand_intervals_unordered",
+    # multi_match cross_fields (BlendedTermQuery blended-df idf)
+    "search_multi_match_cross", "indexed_multi_match_cross",
+    "search_multi_match_cross_msm", "indexed_multi_match_cross_msm",
     # -- (c) regression rotation: high-traffic shapes from rounds 1-2
     "search_match_or_topk", "indexed_match_or_topk",
     "search_match_and_topk", "indexed_match_and_topk",

@@ -95,6 +95,13 @@ class TermsLeaf:
     # stats time (bind_weights) from the same term-dictionary lookup that
     # serves every other leaf — no extra per-leaf stats job at lowering.
     const_from_idf: bool = False
+    # multi_match cross_fields (Lucene BlendedTermQuery): score with the
+    # BLENDED idf — blended df = max df across this field group, i.e. idf =
+    # min over the group's per-field idfs (same N). bind_weights fills
+    # idf_override from the shared stats job; block bounds keep the field's
+    # own idf (>= the blend), which stays a sound overestimate.
+    idf_blend_fields: list[str] | None = None
+    idf_override: dict | None = None
 
 
 @dataclass
@@ -872,6 +879,41 @@ class _Lowerer:
             return TermsLeaf(field=col, terms=list(dict.fromkeys(terms)), need_fid=fid)
         if kind == "more_like_this":
             return self.mlt_leaf(body)
+        if kind == "multi_match_cross":
+            # cross_fields: per analyzed term a dis_max over one blended
+            # single-term leaf per field (BlendedTermQuery — idf_override
+            # bound at stats time), terms combined bool-should with msm
+            # (or need=all for operator and). Twin of
+            # plans/query_dsl._multi_match_cross and the oracle's
+            # _multi_match_cross_sql.
+            qterms = list(dict.fromkeys(analysis.analyze(body["query"])))
+            if not qterms:
+                return TermsLeaf(field="text", terms=[], need=1)
+            fields = list(body["fields"])
+            for f in fields:
+                if f not in INDEXED_FIELDS:
+                    raise ValueError(f"cross_fields on non-indexed field {f}")
+            op = str(body.get("operator", "or")).lower()
+            need = (
+                len(qterms) if op == "and"
+                else int(body.get("minimum_should_match") or 1)
+            )
+            return BoolNode(
+                should=[
+                    DisMaxNode(
+                        children=[
+                            TermsLeaf(
+                                field=f, terms=[t], need=1,
+                                idf_blend_fields=fields,
+                            )
+                            for f in fields
+                        ],
+                        tie=float(body.get("tie_breaker", 0.0)),
+                    )
+                    for t in qterms
+                ],
+                msm=need,
+            )
         if kind == "intervals":
             (field_, spec), = body.items()
             if field_ not in INDEXED_FIELDS:
@@ -1315,7 +1357,12 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     ii = np.searchsorted(docs_u, e[0])
                     cnt[ii] += 1
                     if node.const_score is None:
-                        score[ii] += weights.get((node.field, t), 0.0) * e[1]
+                        w = (
+                            node.idf_override.get(t, 0.0)
+                            if node.idf_override is not None
+                            else weights.get((node.field, t), 0.0)
+                        )
+                        score[ii] += w * e[1]
                 if node.need_fid is not None:
                     needv = chan_value(node.need_fid, docs_u, default=np.inf)
                     match = cnt >= np.maximum(needv, 1.0)
@@ -1775,6 +1822,10 @@ def _make_kernel(spec_tree, weights, avgdl, k, phrase_fts):
                     sm = np.where(m, s, -np.inf)
                     smax = np.maximum(smax, sm)
                     ssum += np.where(m, s, 0.0)
+                # neutralize the -inf placeholder on non-matching rows BEFORE
+                # the arithmetic (0 * -inf = nan trips numpy's invalid-add
+                # warning even though np.where would mask it)
+                smax = np.where(match, smax, 0.0)
                 score = np.where(match, smax + node.tie * (ssum - smax), 0.0)
                 return match, score
             if isinstance(node, ConstScoreNode):
@@ -2224,6 +2275,21 @@ def search_indexed(
     }
     # bind phrase idf weights now that stats are known
     def bind_weights(node):
+        if isinstance(node, TermsLeaf) and node.idf_blend_fields:
+            # cross_fields BlendedTermQuery: idf from the blended df (max df
+            # across the group = min idf among fields where the term occurs,
+            # same N); absent-everywhere terms match nothing anyway
+            node.idf_override = {
+                t: min(
+                    (
+                        weights[(f, t)]
+                        for f in node.idf_blend_fields
+                        if (f, t) in weights
+                    ),
+                    default=0.0,
+                )
+                for t in node.terms
+            }
         if isinstance(node, TermsLeaf) and node.const_from_idf:
             # keyword term/terms leaf: score = idf of the single value, from
             # the same dictionary stats job as every other leaf. df counts

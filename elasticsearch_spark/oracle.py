@@ -635,6 +635,81 @@ def _intervals_freq_sql(body: dict, a: str) -> tuple[str, str]:
     return c, a
 
 
+def _multi_match_cross_sql(body: dict, a: str) -> tuple[str, str]:
+    """Twin of plans/query_dsl._multi_match_cross (multi_match
+    type=cross_fields): per term, per-field BM25 with the BLENDED idf
+    (df = max across the field group), fields combined dis_max with the
+    tie_breaker; terms combine with operator/msm over any-field matches."""
+    from .functions import scoring
+    from .functions.analysis import analyze
+
+    qterms = list(dict.fromkeys(analyze(body["query"])))
+    if not qterms:  # zero_terms_query=NONE
+        return (
+            f"\n{a} AS (SELECT conv_id, turn_idx, 0.0 AS score "
+            f"FROM transcripts WHERE false)",
+            a,
+        )
+    fields = list(body["fields"])
+    op = str(body.get("operator", "or")).lower()
+    tie = float(body.get("tie_breaker", 0.0))
+    need = (
+        len(qterms) if op == "and"
+        else int(body.get("minimum_should_match") or 1)
+    )
+    terms_in = ", ".join(_sql_str(t) for t in qterms)
+    tk = {f: f"tk{i}" for i, f in enumerate(fields)}
+    docs_cols = ", ".join(f"{_toks(f)} AS {tk[f]}" for f in fields)
+    avgs = ", ".join(
+        f"avg(len({tk[f]})) AS av{i}" for i, f in enumerate(fields)
+    )
+    df_parts = "\n    UNION ALL\n    ".join(
+        f"SELECT term, count(*) AS df FROM (SELECT DISTINCT conv_id, "
+        f"turn_idx, unnest({tk[f]}) AS term FROM {a}_docs) "
+        f"WHERE term IN ({terms_in}) GROUP BY term"
+        for f in fields
+    )
+    idf = scoring.idf_sql("n_docs", "df")
+    dl_q = scoring.quantized_dl_sql("dl", "duckdb")
+    ft_parts = []
+    for i, f in enumerate(fields):
+        norm = (
+            f"({scoring.K1} * (1.0 - {scoring.B} + {scoring.B} * "
+            f"cast({dl_q} as double) / av{i}))"
+        )
+        ft_parts.append(
+            f"SELECT conv_id, turn_idx, term, "
+            f"bidf * {scoring.K1 + 1.0} * tf / (tf + {norm}) AS fs "
+            f"FROM (SELECT conv_id, turn_idx, term, count(*) AS tf, "
+            f"any_value(dl) AS dl FROM (SELECT conv_id, turn_idx, "
+            f"len({tk[f]}) AS dl, unnest({tk[f]}) AS term FROM {a}_docs) "
+            f"WHERE term IN ({terms_in}) GROUP BY conv_id, turn_idx, term) "
+            f"JOIN {a}_idf USING (term) CROSS JOIN {a}_stats"
+        )
+    ft = "\n    UNION ALL\n    ".join(ft_parts)
+    c = f"""
+{a}_docs AS (SELECT conv_id, turn_idx, {docs_cols} FROM transcripts),
+{a}_stats AS (SELECT count(*) AS n_docs, {avgs} FROM {a}_docs),
+{a}_idf AS (
+  SELECT term, {idf} AS bidf FROM (
+    SELECT term, max(df) AS df FROM (
+    {df_parts}) GROUP BY term
+  ) CROSS JOIN {a}_stats
+),
+{a}_pt AS (
+  SELECT conv_id, turn_idx, term,
+         max(fs) + {tie} * (sum(fs) - max(fs)) AS ts
+  FROM (
+    {ft})
+  GROUP BY conv_id, turn_idx, term
+),
+{a} AS (
+  SELECT conv_id, turn_idx, sum(ts) AS score
+  FROM {a}_pt GROUP BY conv_id, turn_idx HAVING count(*) >= {need}
+)"""
+    return c, a
+
+
 def _pred_sql(kind: str, body: dict) -> str:
     if kind == "term":
         (field, v), = body.items()
@@ -736,6 +811,10 @@ class _SqlGen:
             return a
         if kind == "intervals":
             c, a = _intervals_sql(body, a)
+            self.ctes.append(c)
+            return a
+        if kind == "multi_match_cross":
+            c, a = _multi_match_cross_sql(body, a)
             self.ctes.append(c)
             return a
         if kind in ("prefix", "wildcard", "fuzzy", "regexp"):

@@ -99,6 +99,23 @@ def normalize_query(q: dict) -> dict:
             }
         if mtype == "most_fields":
             return {"bool": {"should": per_field, "minimum_should_match": 1}}
+        if mtype == "cross_fields":
+            # term-centric (MultiMatchQuery.java CrossFieldsQueryBuilder):
+            # each analyzed TERM becomes a BlendedTermQuery across the field
+            # group — per-field BM25 with the BLENDED df (max df across the
+            # group; Lucene BlendedTermQuery.adjustFrequencies), combined
+            # dis_max with Type.CROSS_FIELDS' tie_breaker default 0.0 —
+            # then the terms combine like a match (OR + msm, or AND).
+            # Needs corpus stats, so it stays its own kind on every twin.
+            return {
+                "multi_match_cross": {
+                    "query": body["query"],
+                    "fields": list(fields),
+                    "operator": body.get("operator", "or"),
+                    "minimum_should_match": body.get("minimum_should_match"),
+                    "tie_breaker": float(body.get("tie_breaker", 0.0)),
+                }
+            }
         raise ValueError(f"multi_match type {mtype} unsupported")
     if kind in (
         "span_term", "span_or", "span_near", "span_first", "span_not",
@@ -745,6 +762,8 @@ def _compile(q: dict, ctx: _Ctx) -> Compiled:
         return _dis_max(ctx, body)
     if kind == "boosting":
         return _boosting(ctx, body)
+    if kind == "multi_match_cross":
+        return _multi_match_cross(ctx, body)
     if kind == "match_phrase_prefix":
         return _match_phrase_prefix(ctx, body)
     if kind == "terms_set":
@@ -1510,6 +1529,82 @@ def _more_like_this(ctx: _Ctx, body: dict) -> Compiled:
         idc = F.concat_ws("#", *[F.col(c).cast("string") for c in ctx.key_cols])
         scored = scored.where(~idc.isin(like_ids))
     return Compiled(scored=scored)
+
+
+def _multi_match_cross(ctx: _Ctx, body: dict) -> Compiled:
+    """multi_match type=cross_fields (MultiMatchQuery.java
+    CrossFieldsQueryBuilder → Lucene BlendedTermQuery): term-centric — each
+    analyzed term scores per field with the BLENDED idf (blended df = max df
+    across the field group, BlendedTermQuery.adjustFrequencies; N is the
+    corpus doc count on every field, so blended idf = the MINIMUM of the
+    per-field idfs where the term occurs), fields combined dis_max with the
+    cross_fields tie_breaker (Type.CROSS_FIELDS default 0.0); terms then
+    combine like a match — operator or + minimum_should_match, or and — with
+    a term counting as matched when ANY field contains it. Twin of the
+    kernel's idf_blend_fields TermsLeaf override and the oracle's
+    _multi_match_cross_sql."""
+    qterms = list(dict.fromkeys(analysis.analyze(body["query"])))
+    if not qterms:
+        return Compiled(predicate=F.lit(False))
+    fields = list(body["fields"])
+    op = str(body.get("operator", "or")).lower()
+    msm = body.get("minimum_should_match")
+    tie = float(body.get("tie_breaker", 0.0))
+    cand = ctx.docs if ctx.base_pred is None else ctx.docs.where(ctx.base_pred)
+
+    stats = {f: M.corpus_stats(ctx.docs, ctx.key_cols, qterms, f) for f in fields}
+    dfs = None
+    for f in fields:
+        d = stats[f].term_df
+        dfs = d if dfs is None else dfs.unionByName(d)
+    idf_df = (
+        dfs.groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .crossJoin(F.broadcast(stats[fields[0]].n_and_avgdl.select("n_docs")))
+        .select("term", F.expr(scoring.idf_sql("n_docs", "df")).alias("_bidf"))
+    )
+
+    parts = []
+    for f in fields:
+        toks = cand.select(*ctx.key_cols, analysis.tokens(f).alias("_tk"))
+        tf = (
+            toks.select(
+                *ctx.key_cols, F.size("_tk").alias("dl"),
+                F.explode("_tk").alias("term"),
+            )
+            .where(F.col("term").isin(qterms))
+            .groupBy(*ctx.key_cols, "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        av = stats[f].n_and_avgdl.select(F.col("avgdl").alias("_av"))
+        dl_q = F.expr(scoring.quantized_dl_sql("dl", "spark"))
+        norm = F.lit(scoring.K1) * (
+            F.lit(1.0 - scoring.B)
+            + F.lit(scoring.B) * dl_q.cast("double") / F.col("_av")
+        )
+        sc = (
+            F.col("_bidf") * F.lit(scoring.K1 + 1.0) * F.col("tf")
+            / (F.col("tf") + norm)
+        )
+        parts.append(
+            tf.join(F.broadcast(idf_df), "term")
+            .crossJoin(F.broadcast(av))
+            .select(*ctx.key_cols, "term", sc.alias("_fs"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    per_term = u.groupBy(*ctx.key_cols, "term").agg(
+        F.max("_fs").alias("_best"), F.sum("_fs").alias("_tot")
+    )
+    term_score = F.col("_best") + F.lit(tie) * (F.col("_tot") - F.col("_best"))
+    agg = (
+        per_term.select(*ctx.key_cols, term_score.alias("_ts"))
+        .groupBy(*ctx.key_cols)
+        .agg(F.sum("_ts").alias("score"), F.count(F.lit(1)).alias("_nm"))
+    )
+    need = len(qterms) if op == "and" else int(msm or 1)
+    return Compiled(scored=agg.where(F.col("_nm") >= need).drop("_nm"))
 
 
 def _match_phrase_prefix(ctx: _Ctx, body: dict) -> Compiled:

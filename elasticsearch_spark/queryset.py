@@ -71,6 +71,25 @@ SEARCH_QUERIES: dict[str, dict] = {
         }
     },
     "match_bool_prefix_topk": {"match_bool_prefix": {"text": "query fas"}},
+    # round 5 — multi_match type=cross_fields (BlendedTermQuery): 'search'
+    # lives mostly in the tool field, 'join' in text; the blended (max-df)
+    # idf and the per-term dis_max across fields are both load-bearing
+    "multi_match_cross": {
+        "multi_match": {
+            "query": "search join",
+            "fields": ["text", "tool"],
+            "type": "cross_fields",
+        }
+    },
+    "multi_match_cross_msm": {
+        "multi_match": {
+            "query": "search join fast",
+            "fields": ["text", "tool"],
+            "type": "cross_fields",
+            "minimum_should_match": 2,
+            "tie_breaker": 0.3,
+        }
+    },
     "match_phrase_prefix_topk": {"match_phrase_prefix": {"text": "table ha"}},
     # round 5: expansion-blended idf with a BINDING cap — "s" expands to 6
     # vocabulary terms (scan slow small sort spark stream), max_expansions=3

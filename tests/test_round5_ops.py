@@ -514,3 +514,88 @@ class TestPercolateScanArmAnyKind:
             ("c0", "fz"), ("c0", "ivl"), ("c0", "span"),
             ("c1", "fz"), ("c1", "span"), ("c2", "ivl"),
         ], got
+
+
+class TestMultiMatchCrossFields:
+    """multi_match type=cross_fields (MultiMatchQuery.java
+    CrossFieldsQueryBuilder -> Lucene BlendedTermQuery): per term, per-field
+    BM25 with the BLENDED idf (df = max across the field group), dis_max
+    across fields (default tie 0.0), match-style term combine. Hand-derived
+    expectations on a crafted two-field corpus; logical == indexed."""
+
+    ROWS = [
+        # (text, tool): 'search' is rare in text (1 doc) but common in tool
+        # (3 docs) -> the blend must use tool's df; 'join' lives in text only
+        ("join the club", "search"),
+        ("search everything join join", "code"),
+        ("plain words here", "search"),
+        ("unrelated", "search"),
+    ]
+
+    def _exp(self, qterms, msm, tie=0.0):
+        import math
+
+        toks = [
+            {"text": t.split(), "tool": o.split()} for t, o in self.ROWS
+        ]
+        n = len(toks)
+        avg = {
+            f: sum(len(d[f]) for d in toks) / n for f in ("text", "tool")
+        }
+        out = {}
+        for i, d in enumerate(toks):
+            total, matched = 0.0, 0
+            for t in qterms:
+                bdf = max(
+                    sum(1 for dd in toks if t in dd[f]) for f in ("text", "tool")
+                )
+                if bdf == 0:
+                    continue
+                bidf = math.log(1 + (n - bdf + 0.5) / (bdf + 0.5))
+                fs = []
+                for f in ("text", "tool"):
+                    tf = d[f].count(t)
+                    if tf:
+                        norm = 1.2 * (0.25 + 0.75 * len(d[f]) / avg[f])
+                        fs.append(bidf * 2.2 * tf / (tf + norm))
+                if fs:
+                    matched += 1
+                    total += max(fs) + tie * (sum(fs) - max(fs))
+            if matched >= msm:
+                out[i] = round(total, 4)
+        return out
+
+    def _got(self, spark, qd):
+        import datetime
+
+        from elasticsearch_spark.operators import index_build, topk
+        from elasticsearch_spark.plans import query_dsl as Q
+
+        df = spark.createDataFrame(
+            [("c0", i, "user", t, o, datetime.datetime(2024, 1, 1))
+             for i, (t, o) in enumerate(self.ROWS)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        gl = {r.turn_idx: round(r.score, 4)
+              for r in Q.search(df, qd, KEYS, k=100).collect()}
+        import tempfile
+
+        store = index_build.build_index(
+            spark, df, tempfile.mkdtemp(prefix="xf_"), n_slices=1, partitions=2
+        )
+        gi = {r.turn_idx: round(r.score, 4)
+              for r in topk.search_indexed(spark, store, qd, k=100).collect()}
+        assert gl == gi, (gl, gi)
+        return gl
+
+    def test_blended_idf_or(self, spark):
+        qd = {"multi_match": {"query": "search join", "fields": ["text", "tool"],
+                              "type": "cross_fields"}}
+        assert self._got(spark, qd) == self._exp(["search", "join"], 1)
+
+    def test_operator_and_and_tie(self, spark):
+        qd = {"multi_match": {"query": "search join", "fields": ["text", "tool"],
+                              "type": "cross_fields", "operator": "and",
+                              "tie_breaker": 0.4}}
+        assert self._got(spark, qd) == self._exp(["search", "join"], 2, tie=0.4)
